@@ -1,0 +1,74 @@
+"""Test harness configuration.
+
+All tests run on CPU with 8 virtual XLA devices — the standard JAX trick for
+exercising multi-chip ``Mesh`` code without a pod (SURVEY.md §4): the same
+sharded programs compile and execute against the fake devices.  Must run before
+anything imports jax.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Parity tests compare against float64-free torch references; keep matmuls exact.
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def tiny_hf_model():
+    """A small random HF VitsModel used as the numerical oracle.
+
+    Mirrors the reference's test strategy of diffing against HF activations
+    (/root/reference/scripts/verify_layers.py) but with a self-contained random
+    model (the repo's .ggml artifacts are LFS pointers; no network in CI).
+    """
+    import torch
+    from transformers import VitsConfig as HFVitsConfig
+    from transformers import VitsModel
+
+    torch.manual_seed(0)
+    cfg = HFVitsConfig(
+        vocab_size=38,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        window_size=4,
+        ffn_dim=64,
+        ffn_kernel_size=3,
+        flow_size=16,
+        spectrogram_bins=65,
+        upsample_initial_channel=32,
+        upsample_rates=[4, 4],
+        upsample_kernel_sizes=[8, 8],
+        resblock_kernel_sizes=[3, 5],
+        resblock_dilation_sizes=[[1, 3], [1, 3]],
+        prior_encoder_num_flows=2,
+        prior_encoder_num_wavenet_layers=2,
+        posterior_encoder_num_wavenet_layers=2,
+        duration_predictor_num_flows=2,
+        duration_predictor_flow_bins=6,
+        depth_separable_num_layers=2,
+        duration_predictor_filter_channels=32,
+    )
+    model = VitsModel(cfg)
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="session")
+def tiny_bundle(tiny_hf_model):
+    """(config, params) converted from the tiny HF model."""
+    from vits_tpu.io.loader import load_hf_module
+
+    config, _, params = load_hf_module(tiny_hf_model, keep_training=True)
+    return config, params

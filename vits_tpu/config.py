@@ -1,0 +1,191 @@
+"""Model configuration for TPU-native VITS.
+
+The reference stores hyperparameters as an untyped string->string KV map inside the
+checkpoint (HF ``config.to_diff_dict()``, see /root/reference/scripts/export_vits.py:30-38)
+and parses values lazily (/root/reference/src/vits.cpp:33-110).  Here the config is a
+typed frozen dataclass: every key the reference consumes (survey of
+/root/reference/src/vits.cpp:246-254,453-457,523,585-595,648-649,858-861,930,977-993 and
+/root/reference/src/vits_model_data.cpp:92-94) is a field with the MMS-TTS default, and
+``VitsConfig.from_kv`` reconstructs a config from the reference's serialized KV block.
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Sequence
+
+
+def _parse_value(raw: str, target_type: Any):
+    """Parse one string value from the reference's KV config block."""
+    if target_type is bool:
+        return raw in ("True", "true", "1")
+    if target_type is int:
+        return int(raw)
+    if target_type is float:
+        return float(raw)
+    if target_type is str:
+        return raw
+    # list / nested list fields, serialized with Python repr by export_vits.py
+    return ast.literal_eval(raw)
+
+
+@dataclass(frozen=True)
+class VitsConfig:
+    """Architecture + inference hyperparameters for a VITS / MMS-TTS model.
+
+    Field names and defaults follow the HF ``VitsConfig`` for facebook/mms-tts-*
+    so that checkpoints round-trip without translation.
+    """
+
+    vocab_size: int = 38
+    hidden_size: int = 192
+    num_hidden_layers: int = 6
+    num_attention_heads: int = 2
+    window_size: int = 4
+    use_bias: bool = True
+    ffn_dim: int = 768
+    ffn_kernel_size: int = 3
+    flow_size: int = 192
+    spectrogram_bins: int = 513
+    hidden_act: str = "relu"
+    layer_norm_eps: float = 1e-5
+
+    use_stochastic_duration_prediction: bool = True
+    num_speakers: int = 1
+    speaker_embedding_size: int = 0
+
+    # HiFiGAN vocoder
+    upsample_initial_channel: int = 512
+    upsample_rates: tuple[int, ...] = (8, 8, 2, 2)
+    upsample_kernel_sizes: tuple[int, ...] = (16, 16, 4, 4)
+    resblock_kernel_sizes: tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: tuple[tuple[int, ...], ...] = (
+        (1, 3, 5),
+        (1, 3, 5),
+        (1, 3, 5),
+    )
+    leaky_relu_slope: float = 0.1
+
+    # Stochastic duration predictor
+    depth_separable_channels: int = 2
+    depth_separable_num_layers: int = 3
+    duration_predictor_flow_bins: int = 10
+    duration_predictor_tail_bound: float = 5.0
+    duration_predictor_kernel_size: int = 3
+    duration_predictor_num_flows: int = 4
+    duration_predictor_filter_channels: int = 256
+
+    # Flows / WaveNet
+    prior_encoder_num_flows: int = 4
+    prior_encoder_num_wavenet_layers: int = 4
+    posterior_encoder_num_wavenet_layers: int = 16
+    wavenet_kernel_size: int = 5
+    wavenet_dilation_rate: int = 1
+
+    # Synthesis controls
+    speaking_rate: float = 1.0
+    noise_scale: float = 0.667
+    noise_scale_duration: float = 0.8
+    sampling_rate: int = 16000
+
+    # Tokenizer-adjacent flag carried in reference checkpoints
+    # (/root/reference/src/vits_model_data.cpp:92-94)
+    phonetic: bool = False
+
+    pad_token_id: int = 0
+
+    @property
+    def total_upsample(self) -> int:
+        """Samples of audio per latent frame (256 for MMS-TTS)."""
+        out = 1
+        for r in self.upsample_rates:
+            out *= r
+        return out
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def from_kv(cls, kv: Mapping[str, str]) -> "VitsConfig":
+        """Build a config from the reference checkpoint's string KV map.
+
+        Mirrors load_param/load_number/load_float/load_vector in
+        /root/reference/src/vits.cpp:33-110 but eagerly and with types.
+        Unknown keys are ignored (the HF diff-dict includes extra keys such as
+        dropout rates that inference does not use).
+        """
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        kwargs: dict[str, Any] = {}
+        hints = {f.name: f.type for f in dataclasses.fields(cls)}
+        for key, raw in kv.items():
+            if key not in fields:
+                continue
+            default = fields[key].default
+            target: Any = type(default) if default is not dataclasses.MISSING else str
+            hint = str(hints[key])
+            if "tuple" in hint and "tuple[tuple" not in hint and "Tuple[Tuple" not in hint:
+                val = tuple(_parse_value(raw, list))
+            elif "tuple[tuple" in hint or "Tuple[Tuple" in hint:
+                val = tuple(tuple(v) for v in _parse_value(raw, list))
+            else:
+                val = _parse_value(raw, target)
+            kwargs[key] = val
+        return cls(**kwargs)
+
+    @classmethod
+    def from_hf(cls, hf_config: Any) -> "VitsConfig":
+        """Build from a HF ``transformers.VitsConfig`` instance (duck-typed)."""
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {}
+        for name in fields:
+            if hasattr(hf_config, name):
+                val = getattr(hf_config, name)
+                if isinstance(val, list):
+                    val = tuple(tuple(v) if isinstance(v, list) else v for v in val)
+                kwargs[name] = val
+        if kwargs.get("pad_token_id") is None:
+            kwargs["pad_token_id"] = 0
+        return cls(**kwargs)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "VitsConfig":
+        data = json.loads(text)
+        for key in ("upsample_rates", "upsample_kernel_sizes", "resblock_kernel_sizes"):
+            if key in data:
+                data[key] = tuple(data[key])
+        if "resblock_dilation_sizes" in data:
+            data["resblock_dilation_sizes"] = tuple(
+                tuple(v) for v in data["resblock_dilation_sizes"]
+            )
+        return cls(**data)
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Runtime/engine knobs: static-shape bucketing, dtype policy, batching.
+
+    These have no counterpart in the reference (which rebuilds a dynamically
+    shaped graph per utterance, /root/reference/src/vits.cpp:1101-1164); they
+    exist because XLA compiles one program per static shape.
+    """
+
+    # Token-length buckets; an utterance is padded to the smallest bucket >= its length.
+    token_buckets: tuple[int, ...] = (64, 128, 256, 512)
+    # Latent-frame capacity per token bucket, as a multiple of the token bucket.
+    frames_per_token: float = 2.0
+    # Computation dtype for the heavy conv stacks ("float32" or "bfloat16").
+    compute_dtype: str = "float32"
+    # Max batch size compiled into the batched path.
+    max_batch: int = 32
+
+    def frame_bucket(self, token_bucket: int) -> int:
+        frames = int(token_bucket * self.frames_per_token)
+        # Round to a multiple of 8 so the time axis tiles the VPU sublanes.
+        return ((frames + 7) // 8) * 8
