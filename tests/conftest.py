@@ -8,12 +8,18 @@ anything imports jax.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 # Parity tests compare against float64-free torch references; keep matmuls exact.
 os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+
+import jax
+
+# The axon TPU plugin (sitecustomize) force-sets jax_platforms="axon,cpu" via
+# jax.config.update, which overrides the JAX_PLATFORMS env var — override it
+# back before any backend initializes so tests run on the 8 virtual CPU devices.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

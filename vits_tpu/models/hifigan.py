@@ -1,0 +1,114 @@
+"""HiFiGAN vocoder: transposed-conv upsampling + multi-receptive-field resblocks.
+
+Rebuild of hifigan_graph (/root/reference/src/vits.cpp:541-644).  TPU-first
+choices: NTC layout so the wide channel dims ride the MXU lanes, transposed
+convs as input-dilated convs, and *mask propagation through every stage* —
+after each conv the padded tail is re-zeroed with the stage's upsampled mask,
+which (a) makes padded batch entries bit-identical to unpadded runs (each conv
+then sees exactly the zero padding HF sees at its sequence end) and (b) is what
+lets one static-shape program serve a whole batch of different lengths, which
+the reference cannot do at all (bsz==1 asserts).
+
+The final activation uses torch's default leaky_relu slope (0.01) like HF
+``VitsHifiGan.forward`` — the reference deviates here by reusing
+``leaky_relu_slope`` (vits.cpp:638); HF is the behavior oracle.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vits_tpu.config import VitsConfig
+from vits_tpu.io.params import ParamView
+from vits_tpu.ops.conv import conv1d, conv_transpose1d, leaky_relu
+
+
+def _resblock(
+    p: ParamView,
+    x: jax.Array,
+    mask: jax.Array | None,
+    kernel_size: int,
+    dilations: tuple[int, ...],
+    slope: float,
+) -> jax.Array:
+    """One multi-dilation residual block (vits.cpp:545-581 / HifiGanResidualBlock)."""
+    for i, dilation in enumerate(dilations):
+        residual = x
+        h = leaky_relu(x, slope)
+        h = conv1d(
+            h,
+            p[f"convs1.{i}.weight"],
+            p[f"convs1.{i}.bias"],
+            padding=(kernel_size * dilation - dilation) // 2,
+            dilation=dilation,
+        )
+        if mask is not None:
+            h = h * mask
+        h = leaky_relu(h, slope)
+        h = conv1d(
+            h,
+            p[f"convs2.{i}.weight"],
+            p[f"convs2.{i}.bias"],
+            padding=(kernel_size - 1) // 2,
+        )
+        if mask is not None:
+            h = h * mask
+        x = h + residual
+    return x
+
+
+def hifigan(
+    params: ParamView,
+    config: VitsConfig,
+    spectrogram: jax.Array,  # (B, T, flow_size) latents
+    frame_mask: jax.Array | None = None,  # (B, T, 1)
+    global_conditioning: jax.Array | None = None,  # (B, 1, speaker_emb)
+) -> jax.Array:
+    """Latents -> waveform (B, T * prod(upsample_rates))."""
+    p = params.sub("decoder")
+    num_kernels = len(config.resblock_kernel_sizes)
+    slope = config.leaky_relu_slope
+
+    h = conv1d(spectrogram, p["conv_pre.weight"], p["conv_pre.bias"], padding=3)
+    if global_conditioning is not None:
+        h = h + conv1d(global_conditioning, p["cond.weight"], p["cond.bias"])
+    mask = frame_mask
+    if mask is not None:
+        h = h * mask
+
+    for i, rate in enumerate(config.upsample_rates):
+        h = leaky_relu(h, slope)
+        kernel_size = config.upsample_kernel_sizes[i]
+        h = conv_transpose1d(
+            h,
+            p[f"upsampler.{i}.weight"],
+            p[f"upsampler.{i}.bias"],
+            stride=rate,
+            padding=(kernel_size - rate) // 2,
+        )
+        if mask is not None:
+            # Upsample the frame mask: each valid frame covers `rate` samples.
+            mask = jnp.repeat(mask, rate, axis=1)
+            h = h * mask
+
+        res_state = None
+        for j in range(num_kernels):
+            block = p.sub(f"resblocks.{i * num_kernels + j}")
+            block_out = _resblock(
+                block,
+                h,
+                mask,
+                config.resblock_kernel_sizes[j],
+                config.resblock_dilation_sizes[j],
+                slope,
+            )
+            res_state = block_out if res_state is None else res_state + block_out
+        h = res_state / num_kernels
+
+    h = leaky_relu(h, 0.01)  # torch default slope; see module docstring
+    h = conv1d(h, p["conv_post.weight"], None, padding=3)
+    waveform = jnp.tanh(h)
+    if mask is not None:
+        waveform = waveform * mask
+    return waveform[..., 0]

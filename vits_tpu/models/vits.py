@@ -1,0 +1,156 @@
+"""Full VITS synthesis pipeline as ONE static-shape jittable function.
+
+This replaces the reference's two-phase dynamic-graph orchestrator
+(/root/reference/src/vits.cpp:975-1191): there, graph 1 computes durations, the
+host reads ``predicted_length`` (vits.cpp:1133), and graph 2 is *rebuilt* at
+that length.  Under XLA that host round-trip would force a recompile per
+utterance; instead the whole pipeline runs at a static frame capacity chosen by
+the engine (length bucketing), the duration-driven length regulation becomes a
+one-hot alignment matmul (MXU) fully inside the program, and the predicted
+length comes out as a tensor the caller uses to slice the waveform.
+
+Noise enters explicitly: either a `jax.random` key (split internally) or
+recorded noise arrays via :class:`NoiseOverride` — the TPU-native replacement
+for the reference's graph-build-time RNG (ggml-util.h:189-199), and the hook
+that makes bit-parity testing against torch possible (SURVEY.md §7 hard part 3).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from vits_tpu.config import VitsConfig
+from vits_tpu.io.params import ParamView
+from vits_tpu.models.duration import (
+    duration_predictor,
+    stochastic_duration_predictor_reverse,
+)
+from vits_tpu.models.encoder import text_encoder
+from vits_tpu.models.flow import residual_coupling_block
+from vits_tpu.models.hifigan import hifigan
+
+
+class NoiseOverride(NamedTuple):
+    """Concrete standard-normal draws, in the order HF/torch draws them."""
+
+    duration: jax.Array  # (B, T_in, 2)
+    prior: jax.Array  # (B, T_frames, flow_size)
+
+
+class SynthesisOutput(NamedTuple):
+    waveform: jax.Array  # (B, T_frames * total_upsample) float32 PCM in [-1, 1]
+    lengths: jax.Array  # (B,) int32 — valid samples per row (clamped to capacity)
+    frame_lengths: jax.Array  # (B,) int32 — predicted frames, UNclamped; a value
+    #   > num_frames tells the engine to re-dispatch at a larger bucket
+    latents: jax.Array  # (B, T_frames, flow_size) — the flow output ("spectrogram")
+    log_duration: jax.Array  # (B, T_in, 1)
+
+
+def align_durations(
+    duration: jax.Array,  # (B, T_in) float, integral values, 0 at padded tokens
+    input_mask: jax.Array,  # (B, T_in)
+    num_frames: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Duration -> one-hot alignment (B, num_frames, T_in) plus frame mask.
+
+    attn[b, f, t] = 1 iff frame f belongs to token t, i.e.
+    cum_dur[t-1] <= f < cum_dur[t].  Expressed as a difference of cumulative
+    comparisons like the reference's compare/pad/sub construction
+    (vits.cpp:1028-1041) — but batched, static-shape, and consumed by a single
+    MXU matmul instead of a rebuilt graph.
+    """
+    cum_duration = jnp.cumsum(duration, axis=-1)  # (B, T_in)
+    frames = jnp.arange(num_frames, dtype=duration.dtype)  # (F,)
+    # valid[b, f, t] = f < cum_dur[b, t]
+    valid = (frames[None, :, None] < cum_duration[:, None, :]).astype(duration.dtype)
+    prev = jnp.pad(valid, ((0, 0), (0, 0), (1, 0)))[:, :, :-1]
+    attn = (valid - prev) * input_mask[:, None, :]
+    total = jnp.minimum(cum_duration[:, -1], float(num_frames))
+    frame_mask = (frames[None, :] < total[:, None]).astype(duration.dtype)
+    attn = attn * frame_mask[:, :, None]
+    return attn, frame_mask
+
+
+def synthesize(
+    params: dict,
+    config: VitsConfig,
+    input_ids: jax.Array,  # (B, T_in) int32
+    input_mask: jax.Array,  # (B, T_in) float32, 1=token 0=pad
+    num_frames: int,  # static latent-frame capacity
+    rng: Optional[jax.Array] = None,  # jax.random key
+    noise: Optional[NoiseOverride] = None,
+    speaker_id: Optional[jax.Array] = None,  # (B,) int32 for multi-speaker models
+    noise_scale: Optional[float] = None,
+    noise_scale_duration: Optional[float] = None,
+    speaking_rate: Optional[float] = None,
+) -> SynthesisOutput:
+    p = ParamView(params)
+    noise_scale = config.noise_scale if noise_scale is None else noise_scale
+    noise_scale_duration = (
+        config.noise_scale_duration if noise_scale_duration is None else noise_scale_duration
+    )
+    speaking_rate = config.speaking_rate if speaking_rate is None else speaking_rate
+
+    batch, t_in = input_ids.shape
+    padding_mask = input_mask[..., None]
+
+    if noise is None:
+        if rng is None:
+            raise ValueError("provide either rng key or NoiseOverride")
+        k_dur, k_prior = jax.random.split(rng)
+        dtype = input_mask.dtype
+        noise = NoiseOverride(
+            duration=jax.random.normal(k_dur, (batch, t_in, 2), dtype),
+            prior=jax.random.normal(k_prior, (batch, num_frames, config.flow_size), dtype),
+        )
+
+    speaker_embeddings = None
+    if config.num_speakers > 1 and speaker_id is not None:
+        emb = jnp.take(p["embed_speaker.weight"], speaker_id, axis=0)  # (B, emb)
+        speaker_embeddings = emb[:, None, :]  # (B, 1, emb)
+
+    # ---- Text encoder -> prior stats -------------------------------------- #
+    enc = text_encoder(p, config, input_ids, padding_mask, input_mask)
+
+    # ---- Durations -------------------------------------------------------- #
+    hidden = jax.lax.stop_gradient(enc.last_hidden_state)
+    if config.use_stochastic_duration_prediction:
+        log_duration = stochastic_duration_predictor_reverse(
+            p, config, hidden, padding_mask,
+            noise.duration, noise_scale_duration, speaker_embeddings,
+        )
+    else:
+        log_duration = duration_predictor(p, config, hidden, padding_mask, speaker_embeddings)
+
+    length_scale = 1.0 / speaking_rate
+    duration = jnp.ceil(jnp.exp(log_duration) * padding_mask * length_scale)[..., 0]
+    total_duration = jnp.clip(jnp.sum(duration, axis=-1), min=1.0)
+
+    # ---- Static-shape length regulation (vits.cpp:1021-1057 recast) ------- #
+    attn, frame_mask = align_durations(duration, input_mask, num_frames)
+    prior_means = jnp.einsum("bft,btc->bfc", attn, enc.prior_means)
+    prior_log_variances = jnp.einsum("bft,btc->bfc", attn, enc.prior_log_variances)
+
+    # ---- Prior sample -> flow -> vocoder ---------------------------------- #
+    prior_latents = (
+        prior_means + noise.prior * jnp.exp(prior_log_variances) * noise_scale
+    )
+    frame_mask3 = frame_mask[..., None]
+    latents, _ = residual_coupling_block(
+        p, config, prior_latents, frame_mask3, speaker_embeddings, reverse=True
+    )
+    latents = latents * frame_mask3
+    waveform = hifigan(p, config, latents, frame_mask3, speaker_embeddings)
+
+    frame_lengths = jnp.minimum(total_duration, float(num_frames)).astype(jnp.int32)
+    lengths = frame_lengths * config.total_upsample
+    return SynthesisOutput(
+        waveform=waveform,
+        lengths=lengths,
+        frame_lengths=jnp.clip(total_duration, max=2_147_483_000.0).astype(jnp.int32),
+        latents=latents,
+        log_duration=log_duration,
+    )

@@ -1,0 +1,109 @@
+"""TPU-friendly 1-D conv primitives in (batch, time, channels) layout.
+
+The reference routes every conv through an im2col + mul_mat custom CPU op
+(/root/reference/src/include/custom-ops.h:680-694) and loops channels for
+depthwise convs (/root/reference/src/vits.cpp:144-169).  On TPU none of that is
+hand-written: ``lax.conv_general_dilated`` lowers to MXU convolutions, the NTC
+layout keeps channels on the 128-wide lane axis, 1x1 convs become plain matmuls,
+depthwise convs use ``feature_group_count``, and transposed convs
+(/root/reference/src/vits.cpp:178-193) are expressed as input-dilated regular
+convs so XLA picks its best implementation.
+
+Kernels arrive in HIO layout ``(k, in/groups, out)`` (see
+:mod:`vits_tpu.io.params`); conv-transpose kernels are pre-flipped at load so
+they are literally regular-conv kernels here.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DN = ("NHC", "HIO", "NHC")  # (batch, time, chan) x (k, in, out)
+
+
+def conv1d(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array | None = None,
+    *,
+    stride: int = 1,
+    padding: int | tuple[int, int] = 0,
+    dilation: int = 1,
+    groups: int = 1,
+) -> jax.Array:
+    """SAME-as-torch Conv1d. x: (B, T, C_in), kernel: (k, C_in/groups, C_out)."""
+    k = kernel.shape[0]
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    if k == 1 and stride == 1 and dilation == 1 and groups == 1:
+        out = jnp.einsum("btc,cd->btd", x, kernel[0])
+    else:
+        out = lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(stride,),
+            padding=(padding,),
+            rhs_dilation=(dilation,),
+            dimension_numbers=_DN,
+            feature_group_count=groups,
+        )
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def depthwise_conv1d(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array | None = None,
+    *,
+    padding: int = 0,
+    dilation: int = 1,
+) -> jax.Array:
+    """Depthwise conv (groups == channels). kernel: (k, 1, C)."""
+    return conv1d(
+        x, kernel, bias, padding=padding, dilation=dilation, groups=x.shape[-1]
+    )
+
+
+def conv_transpose1d(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array | None = None,
+    *,
+    stride: int,
+    padding: int = 0,
+) -> jax.Array:
+    """torch ConvTranspose1d(stride, padding) as an input-dilated regular conv.
+
+    kernel: (k, C_in, C_out) *already spatially reversed* at load time
+    (io/params.py: kernel[t, i, o] = W_torch[i, o, k-1-t]).  Output length is
+    (T-1)*stride + k - 2*padding, matching torch.
+    """
+    k = kernel.shape[0]
+    pad = k - 1 - padding
+    out = lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1,),
+        padding=((pad, pad),),
+        lhs_dilation=(stride,),
+        dimension_numbers=_DN,
+    )
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def layer_norm(x: jax.Array, weight: jax.Array, bias: jax.Array, eps: float = 1e-5):
+    """LayerNorm over the trailing (channel) axis, torch semantics."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    inv = lax.rsqrt(var + eps)
+    return (x - mean) * inv * weight + bias
+
+
+def leaky_relu(x: jax.Array, slope: float) -> jax.Array:
+    return jnp.where(x >= 0, x, x * slope)
