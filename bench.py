@@ -1,0 +1,98 @@
+"""Headline benchmark: real-time factor (xRT) of single-utterance synthesis.
+
+Run on the real TPU chip by the driver; prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+xRT = seconds of audio produced per wall-clock second per chip, measured on
+MMS-TTS-eng-shaped weights over LJSpeech-style sentences (the reference
+publishes no numbers — BASELINE.md; target is >=100x real-time per chip, so
+``vs_baseline`` is xRT/100).  Model weights are random when no real checkpoint
+is present (identical FLOPs/memory traffic; the repo's .ggml artifacts are
+git-LFS pointers).  Methodology mirrors the reference's e2e harness
+(/root/reference/test/bench_e2e.cpp:79-89): warm-up synth, then timed loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# LJSpeech-style sentences (varied lengths, ~40-180 chars).
+SENTENCES = [
+    "The quick brown fox jumps over the lazy dog near the riverbank.",
+    "Printing, in the only sense with which we are at present concerned, "
+    "differs from most if not from all the arts and crafts represented in the exhibition.",
+    "In the earliest times there was no printing press, and every book was written by hand.",
+    "He was charged with obtaining money under false pretences and sentenced to prison.",
+    "Many of the old houses of the city have long since disappeared.",
+    "The weather today is remarkably pleasant for this time of year.",
+    "She carefully placed the ancient manuscript back on the wooden shelf.",
+    "A committee was appointed to investigate the condition of the prison.",
+]
+
+
+def main() -> int:
+    import jax
+
+    from vits_tpu.config import EngineConfig, VitsConfig
+    from vits_tpu.engine.synthesizer import Synthesizer
+    from vits_tpu.io.random_init import random_params
+    from vits_tpu.text.tokenizer import VitsTokenizer
+
+    ggml_path = os.environ.get("VITS_BENCH_CHECKPOINT", "")
+    compute_dtype = os.environ.get("VITS_BENCH_DTYPE", "float32")
+    # ONE static shape: every compile goes through the (slow) remote-compile
+    # tunnel, so the bench uses a single 512-token / 1024-frame program and
+    # never escalates.  All compute in that shape is real vocoder work, and
+    # audio seconds are counted from the model's own predicted lengths.
+    engine_config = EngineConfig(
+        token_buckets=(512,),
+        frames_per_token=2.0,
+        compute_dtype=compute_dtype,
+    )
+
+    if ggml_path and os.path.exists(ggml_path) and os.path.getsize(ggml_path) > 10_000:
+        model = Synthesizer.load(ggml_path, engine_config)
+    else:
+        config = VitsConfig()  # MMS-TTS-eng architecture
+        params = random_params(config, seed=0, keep_training=False)
+        vocab = {c: i for i, c in enumerate(
+            "kzyuvdheswm' ablcfgijnopqrtx0123456789_-")}
+        tokenizer = VitsTokenizer(vocab=vocab, pad_token="k", unk_token="z")
+        model = Synthesizer(config, tokenizer, params, engine_config)
+
+    rate = model.config.sampling_rate
+
+    # Warm-up compiles the single dispatch shape (excluded from timing).
+    warm = model.synthesize_raw(SENTENCES[0], seed=0, max_redispatch=0)
+    np.asarray(warm.waveform)
+
+    n_iters = int(os.environ.get("VITS_BENCH_ITERS", "12"))
+    audio_sec = 0.0
+    wall = 0.0
+    for i in range(n_iters):
+        text = SENTENCES[i % len(SENTENCES)]
+        t0 = time.perf_counter()
+        out = model.synthesize_raw(text, seed=i, max_redispatch=0)
+        np.asarray(out.waveform)  # block until device done + host copy
+        t1 = time.perf_counter()
+        audio_sec += float(np.asarray(out.lengths)[0]) / rate
+        wall += t1 - t0
+
+    xrt = audio_sec / wall
+    result = {
+        "metric": "xRT_single_utterance",
+        "value": round(xrt, 2),
+        "unit": "audio_sec/wall_sec/chip",
+        "vs_baseline": round(xrt / 100.0, 3),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,362 @@
+// Native runtime layer for tpu-vits: checkpoint IO, tokenizer, WAV encode.
+//
+// The reference implements its IO/runtime in C++ (loader:
+// src/vits_model_data.cpp, tokenizer: src/vits_tokenizer.cpp, WAV:
+// test/main.cpp) — this library provides the TPU framework's equivalents
+// behind a stable C ABI (consumed from Python via ctypes, see
+// vits_tpu/io/native.py).  The compute path stays XLA; this layer covers the
+// host-side hot spots:
+//
+//   * vt_ggml_open/...: mmap-based zero-copy .ggml checkpoint parser — tensor
+//     bytes are returned as pointers into the mapping, so a 75 MB model
+//     "loads" in microseconds and the bytes are only touched when the arrays
+//     are first read (vs the reference's full memcpy loop,
+//     vits_model_data.cpp:17-27).
+//   * vt_tokenize: greedy longest-prefix vocabulary matcher with lowercase
+//     fallback + blank interspersal (vits_tokenizer.cpp:57-78,201-207
+//     semantics, trie-accelerated).
+//   * vt_wav_encode: float PCM -> 16-bit WAV bytes (main.cpp:23-63).
+//
+// Build: cmake -S native -B native/build && cmake --build native/build
+
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+#include <cstdlib>
+#include <deque>
+#include <string>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+#define VT_API extern "C" __attribute__((visibility("default")))
+
+// ---------------------------------------------------------------------------
+// Checkpoint parsing (.ggml format; layout documented in vits_tpu/io/ggml.py)
+// ---------------------------------------------------------------------------
+
+struct VtTensor {
+    const char* name;     // NUL-terminated, owned by VtCheckpoint
+    uint32_t dtype;       // 0 = f32, 1 = f16
+    uint32_t rank;
+    uint32_t dims[8];     // torch-order shape (already un-reversed)
+    const uint8_t* data;  // pointer into the mmap
+    uint64_t nbytes;
+};
+
+struct VtKV {
+    const char* key;
+    const char* value;
+};
+
+struct VtVocabEntry {
+    const char* token;
+    uint32_t id;
+};
+
+struct VtCheckpoint {
+    // mapping
+    uint8_t* base = nullptr;
+    size_t size = 0;
+    int fd = -1;
+    bool owned_copy = false;  // true when loaded from bytes (we own base)
+
+    // parsed views; deque gives stable addresses for the interned strings
+    // (SSO strings in a reallocating vector would dangle their c_str()).
+    std::deque<std::string> strings;
+    std::vector<VtVocabEntry> vocab;
+    uint32_t add_blank = 0, normalize = 0;
+    const char* pad_token = nullptr;
+    const char* unk_token = nullptr;
+    std::vector<VtKV> config;
+    std::vector<VtTensor> tensors;
+    std::string error;
+};
+
+namespace {
+
+struct Cursor {
+    const uint8_t* p;
+    const uint8_t* end;
+    bool ok = true;
+
+    uint32_t u32() {
+        if (!ok || end - p < 4) { ok = false; return 0; }
+        uint32_t v;
+        std::memcpy(&v, p, 4);
+        p += 4;
+        return v;
+    }
+    const uint8_t* bytes(uint64_t n) {
+        if (!ok || (uint64_t)(end - p) < n) { ok = false; return nullptr; }
+        const uint8_t* r = p;
+        p += n;
+        return r;
+    }
+};
+
+const char* intern(VtCheckpoint* ck, const uint8_t* data, uint32_t len) {
+    ck->strings.emplace_back(reinterpret_cast<const char*>(data), len);
+    return ck->strings.back().c_str();
+}
+
+bool parse(VtCheckpoint* ck) {
+    Cursor c{ck->base, ck->base + ck->size};
+
+    // [tokenizer]
+    uint32_t vocab_size = c.u32();
+    ck->vocab.reserve(vocab_size);
+    for (uint32_t i = 0; i < vocab_size && c.ok; ++i) {
+        uint32_t klen = c.u32();
+        const uint8_t* kb = c.bytes(klen);
+        uint32_t id = c.u32();
+        if (!c.ok) break;
+        ck->vocab.push_back({intern(ck, kb, klen), id});
+    }
+    ck->add_blank = c.u32();
+    ck->normalize = c.u32();
+    uint32_t plen = c.u32();
+    const uint8_t* pb = c.bytes(plen);
+    if (c.ok) ck->pad_token = intern(ck, pb, plen);
+    uint32_t ulen = c.u32();
+    const uint8_t* ub = c.bytes(ulen);
+    if (c.ok) ck->unk_token = intern(ck, ub, ulen);
+
+    // [config]
+    uint32_t n_config = c.u32();
+    ck->config.reserve(n_config);
+    for (uint32_t i = 0; i < n_config && c.ok; ++i) {
+        uint32_t klen = c.u32();
+        const uint8_t* kb = c.bytes(klen);
+        uint32_t vlen = c.u32();
+        const uint8_t* vb = c.bytes(vlen);
+        if (!c.ok) break;
+        ck->config.push_back({intern(ck, kb, klen), intern(ck, vb, vlen)});
+    }
+
+    // [tensors]
+    uint32_t n_tensors = c.u32();
+    ck->tensors.reserve(n_tensors);
+    for (uint32_t i = 0; i < n_tensors && c.ok; ++i) {
+        VtTensor t{};
+        uint32_t nlen = c.u32();
+        const uint8_t* nb = c.bytes(nlen);
+        t.dtype = c.u32();
+        t.rank = c.u32();
+        if (t.rank > 8) { ck->error = "tensor rank > 8"; return false; }
+        // dims stored reversed (ggml ne order); un-reverse to torch order
+        uint32_t rev[8];
+        for (uint32_t d = 0; d < t.rank; ++d) rev[d] = c.u32();
+        for (uint32_t d = 0; d < t.rank; ++d) t.dims[d] = rev[t.rank - 1 - d];
+        t.nbytes = c.u32();
+        t.data = c.bytes(t.nbytes);
+        if (!c.ok) break;
+        t.name = intern(ck, nb, nlen);
+        if (t.dtype > 1) { ck->error = "unsupported dtype"; return false; }
+        ck->tensors.push_back(t);
+    }
+    if (!c.ok) {
+        ck->error = "truncated checkpoint";
+        return false;
+    }
+    return true;
+}
+
+}  // namespace
+
+VT_API VtCheckpoint* vt_ggml_open(const char* path) {
+    auto* ck = new VtCheckpoint();
+    ck->fd = ::open(path, O_RDONLY);
+    if (ck->fd < 0) {
+        ck->error = "open failed";
+        return ck;
+    }
+    struct stat st;
+    if (fstat(ck->fd, &st) != 0) {
+        ck->error = "stat failed";
+        return ck;
+    }
+    ck->size = (size_t)st.st_size;
+    void* m = mmap(nullptr, ck->size, PROT_READ, MAP_PRIVATE, ck->fd, 0);
+    if (m == MAP_FAILED) {
+        ck->error = "mmap failed";
+        return ck;
+    }
+    madvise(m, ck->size, MADV_SEQUENTIAL);
+    ck->base = static_cast<uint8_t*>(m);
+    parse(ck);
+    return ck;
+}
+
+VT_API VtCheckpoint* vt_ggml_from_bytes(const uint8_t* data, uint64_t size) {
+    auto* ck = new VtCheckpoint();
+    ck->base = static_cast<uint8_t*>(std::malloc(size));
+    if (!ck->base) {
+        ck->error = "alloc failed";
+        return ck;
+    }
+    std::memcpy(ck->base, data, size);
+    ck->size = size;
+    ck->owned_copy = true;
+    parse(ck);
+    return ck;
+}
+
+VT_API const char* vt_ggml_error(const VtCheckpoint* ck) {
+    return ck->error.empty() ? nullptr : ck->error.c_str();
+}
+
+VT_API uint32_t vt_ggml_num_tensors(const VtCheckpoint* ck) {
+    return (uint32_t)ck->tensors.size();
+}
+VT_API const VtTensor* vt_ggml_tensor(const VtCheckpoint* ck, uint32_t i) {
+    return &ck->tensors[i];
+}
+VT_API uint32_t vt_ggml_num_config(const VtCheckpoint* ck) {
+    return (uint32_t)ck->config.size();
+}
+VT_API const VtKV* vt_ggml_config(const VtCheckpoint* ck, uint32_t i) {
+    return &ck->config[i];
+}
+VT_API uint32_t vt_ggml_num_vocab(const VtCheckpoint* ck) {
+    return (uint32_t)ck->vocab.size();
+}
+VT_API const VtVocabEntry* vt_ggml_vocab(const VtCheckpoint* ck, uint32_t i) {
+    return &ck->vocab[i];
+}
+VT_API uint32_t vt_ggml_add_blank(const VtCheckpoint* ck) { return ck->add_blank; }
+VT_API uint32_t vt_ggml_normalize(const VtCheckpoint* ck) { return ck->normalize; }
+VT_API const char* vt_ggml_pad_token(const VtCheckpoint* ck) { return ck->pad_token; }
+VT_API const char* vt_ggml_unk_token(const VtCheckpoint* ck) { return ck->unk_token; }
+
+VT_API void vt_ggml_close(VtCheckpoint* ck) {
+    if (ck->base) {
+        if (ck->owned_copy)
+            std::free(ck->base);
+        else
+            munmap(ck->base, ck->size);
+    }
+    if (ck->fd >= 0) ::close(ck->fd);
+    delete ck;
+}
+
+// ---------------------------------------------------------------------------
+// Tokenizer: greedy longest-prefix match over a byte trie + blank interspersal
+// ---------------------------------------------------------------------------
+
+struct VtTokenizer {
+    // byte-level trie
+    struct Node {
+        int32_t children[256];
+        int32_t token_id;  // -1 if not terminal
+        Node() : token_id(-1) { std::memset(children, -1, sizeof(children)); }
+    };
+    std::vector<Node> nodes;
+    uint32_t blank_id = 0;
+    uint32_t add_blank = 1;
+
+    void insert(const char* token, uint32_t id) {
+        int cur = 0;
+        for (const uint8_t* p = (const uint8_t*)token; *p; ++p) {
+            int32_t& next = nodes[cur].children[*p];
+            if (next < 0) {
+                next = (int32_t)nodes.size();
+                nodes.emplace_back();
+            }
+            cur = next;
+        }
+        nodes[cur].token_id = (int32_t)id;
+    }
+
+    // longest match starting at text[i]; returns (id, length) or (-1, 1)
+    std::pair<int32_t, size_t> match(const char* text, size_t n, size_t i) const {
+        int cur = 0;
+        int32_t best_id = -1;
+        size_t best_len = 0;
+        for (size_t j = i; j < n; ++j) {
+            int32_t next = nodes[cur].children[(uint8_t)text[j]];
+            if (next < 0) break;
+            cur = next;
+            if (nodes[cur].token_id >= 0) {
+                best_id = nodes[cur].token_id;
+                best_len = j - i + 1;
+            }
+        }
+        if (best_id < 0) return {-1, 1};
+        return {best_id, best_len};
+    }
+};
+
+VT_API VtTokenizer* vt_tokenizer_new(uint32_t add_blank, uint32_t blank_id) {
+    auto* t = new VtTokenizer();
+    t->nodes.emplace_back();
+    t->add_blank = add_blank;
+    t->blank_id = blank_id;
+    return t;
+}
+
+VT_API void vt_tokenizer_add(VtTokenizer* t, const char* token, uint32_t id) {
+    t->insert(token, id);
+}
+
+// Tokenize text (already normalized/lowercased by the caller) into out_ids.
+// Returns the number of ids written (at most out_cap).
+VT_API uint32_t vt_tokenize(const VtTokenizer* t, const char* text,
+                            int32_t* out_ids, uint32_t out_cap) {
+    size_t n = std::strlen(text);
+    std::vector<int32_t> raw;
+    raw.reserve(n);
+    size_t i = 0;
+    while (i < n) {
+        auto [id, len] = t->match(text, n, i);
+        if (id >= 0) raw.push_back(id);
+        i += len;
+    }
+    uint32_t count = 0;
+    if (t->add_blank && !raw.empty()) {
+        uint32_t total = (uint32_t)raw.size() * 2 + 1;
+        for (uint32_t k = 0; k < total && count < out_cap; ++k) {
+            out_ids[count++] = (k % 2 == 1) ? raw[k / 2] : (int32_t)t->blank_id;
+        }
+    } else {
+        for (size_t k = 0; k < raw.size() && count < out_cap; ++k)
+            out_ids[count++] = raw[k];
+    }
+    return count;
+}
+
+VT_API void vt_tokenizer_free(VtTokenizer* t) { delete t; }
+
+// ---------------------------------------------------------------------------
+// WAV encode (16-bit PCM mono)
+// ---------------------------------------------------------------------------
+
+VT_API uint64_t vt_wav_size(uint64_t n_samples) { return 44 + n_samples * 2; }
+
+VT_API void vt_wav_encode(const float* samples, uint64_t n, uint32_t rate,
+                          uint8_t* out) {
+    auto put_u32 = [&](uint64_t off, uint32_t v) { std::memcpy(out + off, &v, 4); };
+    auto put_u16 = [&](uint64_t off, uint16_t v) { std::memcpy(out + off, &v, 2); };
+    std::memcpy(out, "RIFF", 4);
+    put_u32(4, (uint32_t)(36 + n * 2));
+    std::memcpy(out + 8, "WAVEfmt ", 8);
+    put_u32(16, 16);
+    put_u16(20, 1);            // PCM
+    put_u16(22, 1);            // mono
+    put_u32(24, rate);
+    put_u32(28, rate * 2);     // byte rate
+    put_u16(32, 2);            // block align
+    put_u16(34, 16);           // bits
+    std::memcpy(out + 36, "data", 4);
+    put_u32(40, (uint32_t)(n * 2));
+    int16_t* pcm = reinterpret_cast<int16_t*>(out + 44);
+    for (uint64_t i = 0; i < n; ++i) {
+        float v = samples[i];
+        if (v > 1.0f) v = 1.0f;
+        if (v < -1.0f) v = -1.0f;
+        pcm[i] = (int16_t)(v * 32767.0f);
+    }
+}

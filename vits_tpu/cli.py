@@ -1,0 +1,68 @@
+"""Command-line synthesis — the reference CLI rebuilt
+(/root/reference/test/main.cpp: load model, synthesize phrase, write WAV),
+plus flags the reference lacks (it ignores argv entirely, main.cpp:67).
+
+    python -m vits_tpu.cli --model scripts/vits-spanish.ggml \
+        --text "Cada amanecer trae consigo nuevas oportunidades" --out output.wav
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="vits_tpu", description=__doc__)
+    parser.add_argument("--model", required=True, help=".ggml path or HF model dir/name")
+    parser.add_argument("--text", action="append", required=True,
+                        help="text to synthesize (repeatable for batch)")
+    parser.add_argument("--out", default="output.wav", help="output WAV path (or prefix for batches)")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--speaker-id", type=int, default=None)
+    parser.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    parser.add_argument("--bench", type=int, default=0, metavar="N",
+                        help="after synthesis, time N repeat runs (bench_e2e.cpp behavior)")
+    args = parser.parse_args(argv)
+
+    import vits_tpu
+    from vits_tpu.config import EngineConfig
+    from vits_tpu.utils.wav import write_wav
+
+    model = vits_tpu.load_model(args.model, EngineConfig(compute_dtype=args.dtype))
+    t0 = time.perf_counter()
+    waves = model.synthesize(list(args.text), seed=args.seed, speaker_id=args.speaker_id)
+    t1 = time.perf_counter()
+
+    rate = model.config.sampling_rate
+    outs = []
+    if len(waves) == 1:
+        write_wav(args.out, waves[0], rate)
+        outs.append(args.out)
+    else:
+        stem = args.out[:-4] if args.out.endswith(".wav") else args.out
+        for i, w in enumerate(waves):
+            path = f"{stem}_{i}.wav"
+            write_wav(path, w, rate)
+            outs.append(path)
+    audio_sec = sum(len(w) for w in waves) / rate
+    print(
+        f"Synthesized {audio_sec:.2f}s of audio in {t1 - t0:.3f}s "
+        f"(incl. compile) -> {', '.join(outs)}"
+    )
+
+    if args.bench:
+        times = []
+        for _ in range(args.bench):
+            t0 = time.perf_counter()
+            model.synthesize(list(args.text), seed=args.seed, speaker_id=args.speaker_id)
+            times.append(time.perf_counter() - t0)
+        avg = sum(times) / len(times)
+        print(f"Average time: {avg * 1000:.2f} ms over {args.bench} runs "
+              f"({audio_sec / avg:.1f}x real-time)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

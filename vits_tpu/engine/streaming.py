@@ -1,0 +1,133 @@
+"""Chunked streaming decode: low time-to-first-audio (TTFA).
+
+The reference synthesizes the entire utterance in one graph and returns only at
+the end (vits.cpp:1101-1191) — TTFA == total latency.  Here the cheap stages
+(encoder -> durations -> flow) run first in one small program, then the HiFiGAN
+vocoder decodes the latent frames in fixed-size chunks with a receptive-field
+margin on each side; the margin region is recomputed per chunk and discarded,
+so emitted PCM is bit-identical to the one-shot decode (overlap-*discard*, not
+overlap-add: the vocoder is a pure feed-forward conv stack, so given enough
+context the interior is exact — verified in tests/test_streaming.py).
+
+Margin: the vocoder's receptive field is ~16 latent frames for the MMS config
+(conv_pre ±3, plus the per-stage resblock dilation pyramids divided by the
+accumulated upsample rate); ``margin_frames=20`` is the safe default, checked
+at runtime in tests by exact comparison.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vits_tpu.config import VitsConfig
+from vits_tpu.io.params import ParamView
+from vits_tpu.models.hifigan import hifigan
+from vits_tpu.models.vits import text_to_latents
+
+
+class StreamingDecoder:
+    """Wraps a Synthesizer with chunked vocoder dispatch.
+
+    Usage::
+
+        stream = StreamingDecoder(model)
+        for pcm_chunk in stream.stream("hello world"):
+            play(pcm_chunk)  # float32 PCM
+    """
+
+    def __init__(
+        self,
+        synthesizer,
+        chunk_frames: int = 64,
+        margin_frames: int = 20,
+    ):
+        self.synth = synthesizer
+        self.chunk_frames = chunk_frames
+        self.margin_frames = margin_frames
+        self._latents_fn_cache = {}
+        self._decode_fn_cache = {}
+
+    # ------------------------------------------------------------------ #
+    def _latents_fn(self, num_frames: int):
+        if num_frames not in self._latents_fn_cache:
+            config = self.synth.config
+
+            @jax.jit
+            def run(params, ids, mask, rng):
+                return text_to_latents(params, config, ids, mask, num_frames, rng=rng)
+
+            self._latents_fn_cache[num_frames] = run
+        return self._latents_fn_cache[num_frames]
+
+    def _decode_fn(self, window: int):
+        if window not in self._decode_fn_cache:
+            config = self.synth.config
+
+            @jax.jit
+            def run(params, latents, mask):
+                return hifigan(ParamView(params), config, latents, mask)
+
+            self._decode_fn_cache[window] = run
+        return self._decode_fn_cache[window]
+
+    # ------------------------------------------------------------------ #
+    def stream(self, text: str, seed: int = 0) -> Iterator[np.ndarray]:
+        """Yield float32 PCM chunks; concatenation == one-shot synthesis."""
+        synth = self.synth
+        tok = synth.tokenizer
+        from vits_tpu.engine.synthesizer import _next_bucket
+
+        encoded = tok.encode(text)
+        t_bucket = _next_bucket(synth.engine.token_buckets, max(len(encoded), 1))
+        ids, mask = tok([text], pad_to=t_bucket)
+        num_frames = synth.engine.frame_bucket(t_bucket)
+
+        rng = jax.random.PRNGKey(seed)
+        lat = self._latents_fn(num_frames)(
+            synth.params, jnp.asarray(ids), jnp.asarray(mask), rng
+        )
+        # Escalate capacity (doubling ladder, like Synthesizer.synthesize_raw)
+        # if the predicted length overflowed the frame bucket.
+        for _ in range(4):
+            predicted = int(np.asarray(lat.total_duration)[0])
+            if predicted <= num_frames:
+                break
+            while num_frames < predicted:
+                num_frames *= 2
+            lat = self._latents_fn(num_frames)(
+                synth.params, jnp.asarray(ids), jnp.asarray(mask), rng
+            )
+        valid_frames = int(np.minimum(np.asarray(lat.total_duration)[0], num_frames))
+        latents = lat.latents
+        frame_mask = lat.frame_mask[..., None]
+
+        up = synth.config.total_upsample
+        chunk, margin = self.chunk_frames, self.margin_frames
+        window = chunk + 2 * margin
+
+        if num_frames <= window:
+            # Utterance fits in one window: plain one-shot decode.
+            wave = self._decode_fn(num_frames)(synth.params, latents, frame_mask)
+            yield np.asarray(wave)[0, : valid_frames * up]
+            return
+
+        decode = self._decode_fn(window)
+        start = 0
+        while start < valid_frames:
+            lo = min(max(start - margin, 0), num_frames - window)
+            piece = latents[:, lo : lo + window]
+            piece_mask = frame_mask[:, lo : lo + window]
+            wave = decode(synth.params, piece, piece_mask)
+            offset = (start - lo) * up
+            n_valid = min(chunk, valid_frames - start) * up
+            yield np.asarray(wave)[0, offset : offset + n_valid]
+            start += chunk
+
+    def synthesize_streaming(self, text: str, seed: int = 0) -> np.ndarray:
+        """Convenience: concatenate all streamed chunks."""
+        return np.concatenate(list(self.stream(text, seed=seed)))

@@ -1,0 +1,186 @@
+"""The synthesis engine: bucketed static shapes, jit cache, batched dispatch.
+
+This is the runtime the reference's orchestrator (vits.cpp:1101-1191) becomes
+on TPU.  The reference rebuilds and re-executes a pointer graph per utterance
+with a host read in the middle; here each (token-bucket, frame-capacity) pair
+compiles ONCE, utterances are padded into the bucket, whole batches go through
+a single dispatch, and the only host decision is made *after* the fact: if the
+predicted frame count overflowed the chosen capacity, the engine re-dispatches
+at the next capacity (rare — capacity defaults to 2 frames/token and escalates
+geometrically).
+
+Public surface mirrors the reference C API (vits.h:87-102):
+``Synthesizer.load`` ≈ vits_model_load_from_file/bytes,
+``Synthesizer.synthesize`` ≈ vits_model_process.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vits_tpu.config import EngineConfig, VitsConfig
+from vits_tpu.models.vits import SynthesisOutput, synthesize as synthesize_fn
+from vits_tpu.text.tokenizer import VitsTokenizer
+
+
+def _next_bucket(buckets: Sequence[int], value: int) -> int:
+    for b in buckets:
+        if value <= b:
+            return b
+    # beyond the largest bucket: round up to a multiple of the largest
+    biggest = buckets[-1]
+    return ((value + biggest - 1) // biggest) * biggest
+
+
+class Synthesizer:
+    def __init__(
+        self,
+        config: VitsConfig,
+        tokenizer: VitsTokenizer,
+        params: dict,
+        engine_config: Optional[EngineConfig] = None,
+        device: Optional[jax.Device] = None,
+    ):
+        self.config = config
+        self.tokenizer = tokenizer
+        self.engine = engine_config or EngineConfig()
+        self.device = device
+        dtype = jnp.bfloat16 if self.engine.compute_dtype == "bfloat16" else jnp.float32
+        self.compute_dtype = dtype
+
+        def _place(x):
+            arr = jnp.asarray(x)
+            if arr.dtype == jnp.float32 and dtype != jnp.float32:
+                arr = arr.astype(dtype)
+            return jax.device_put(arr, device) if device is not None else arr
+
+        self.params = {k: _place(v) for k, v in params.items()}
+
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def load(
+        cls,
+        source,
+        engine_config: Optional[EngineConfig] = None,
+        device: Optional[jax.Device] = None,
+    ) -> "Synthesizer":
+        """Load from a .ggml path/bytes, an HF directory, or an HF hub name."""
+        from vits_tpu.io import loader
+
+        if isinstance(source, (bytes, bytearray)):
+            config, tokenizer, params = loader.load_ggml(bytes(source))
+        elif isinstance(source, str) and source.endswith(".ggml"):
+            config, tokenizer, params = loader.load_ggml(source)
+        else:
+            config, tokenizer, params = loader.load_hf_pretrained(source)
+        return cls(config, tokenizer, params, engine_config, device)
+
+    # ------------------------------------------------------------------ #
+    @functools.lru_cache(maxsize=None)  # noqa: B019 — engine owns its cache
+    def _compiled(self, num_frames: int):
+        config = self.config
+
+        @functools.partial(jax.jit, static_argnames=("num_frames",))
+        def run(params, input_ids, input_mask, rng, speaker_id, num_frames):
+            return synthesize_fn(
+                params, config, input_ids, input_mask, num_frames,
+                rng=rng, speaker_id=speaker_id,
+            )
+
+        return functools.partial(run, num_frames=num_frames)
+
+    def _dispatch(self, ids: np.ndarray, mask: np.ndarray, num_frames: int, rng, speaker_id):
+        fn = self._compiled(num_frames)
+        return fn(
+            self.params,
+            jnp.asarray(ids),
+            jnp.asarray(mask, dtype=self.compute_dtype),
+            rng,
+            speaker_id,
+        )
+
+    # ------------------------------------------------------------------ #
+    def synthesize(
+        self,
+        texts: str | Sequence[str],
+        *,
+        seed: int = 0,
+        speaker_id: Optional[int | Sequence[int]] = None,
+        trim: bool = True,
+        max_redispatch: int = 3,
+    ):
+        """Text(s) -> float32 PCM at ``config.sampling_rate``.
+
+        A single string returns one 1-D array; a list returns a list of arrays
+        (trimmed to each utterance's predicted length unless ``trim=False``).
+        """
+        single = isinstance(texts, str)
+        out = self.synthesize_raw(
+            texts, seed=seed, speaker_id=speaker_id, max_redispatch=max_redispatch
+        )
+        waves = np.asarray(out.waveform, dtype=np.float32)
+        lengths = np.asarray(out.lengths)
+        results = [
+            waves[i, : lengths[i]] if trim else waves[i] for i in range(waves.shape[0])
+        ]
+        return results[0] if single else results
+
+    def synthesize_raw(
+        self,
+        texts: str | Sequence[str],
+        *,
+        seed: int = 0,
+        speaker_id: Optional[int | Sequence[int]] = None,
+        max_redispatch: int = 3,
+        pad_to_batch: Optional[int] = None,
+    ) -> SynthesisOutput:
+        """Untrimmed batched output (device arrays) + per-row lengths."""
+        if isinstance(texts, str):
+            texts = [texts]
+        encoded = [self.tokenizer.encode(t) for t in texts]
+        max_len = max((len(e) for e in encoded), default=1) or 1
+        t_bucket = _next_bucket(self.engine.token_buckets, max_len)
+        ids, mask = self.tokenizer(texts, pad_to=t_bucket)
+        if pad_to_batch is not None and ids.shape[0] < pad_to_batch:
+            pad_rows = pad_to_batch - ids.shape[0]
+            ids = np.pad(ids, ((0, pad_rows), (0, 0)))
+            mask = np.pad(mask, ((0, pad_rows), (0, 0)))
+
+        spk = None
+        if speaker_id is not None:
+            spk = np.broadcast_to(
+                np.asarray(speaker_id, dtype=np.int32), (ids.shape[0],)
+            ).copy()
+
+        rng = jax.random.PRNGKey(seed)
+        num_frames = self.engine.frame_bucket(t_bucket)
+        out = self._dispatch(ids, mask, num_frames, rng, spk)
+        for _ in range(max_redispatch):
+            predicted = int(np.max(np.asarray(out.frame_lengths)))
+            if predicted <= num_frames:
+                break
+            # Double until it fits: keeps the set of compiled shapes a small
+            # ladder instead of one program per utterance length.
+            while num_frames < predicted:
+                num_frames *= 2
+            out = self._dispatch(ids, mask, num_frames, rng, spk)
+        return out
+
+    # ------------------------------------------------------------------ #
+    def warmup(self, batch_sizes=(1,), token_buckets=None):
+        """Pre-compile the common dispatch shapes."""
+        buckets = token_buckets or self.engine.token_buckets
+        for bs in batch_sizes:
+            for tb in buckets:
+                ids = np.zeros((bs, tb), np.int32)
+                mask = np.zeros((bs, tb), np.float32)
+                mask[:, 0] = 1.0
+                out = self._dispatch(
+                    ids, mask, self.engine.frame_bucket(tb), jax.random.PRNGKey(0), None
+                )
+                jax.block_until_ready(out.waveform)

@@ -74,19 +74,29 @@ def align_durations(
     return attn, frame_mask
 
 
-def synthesize(
+class LatentsOutput(NamedTuple):
+    """Result of the text -> flow-latents stage (pre-vocoder)."""
+
+    latents: jax.Array  # (B, T_frames, flow_size)
+    frame_mask: jax.Array  # (B, T_frames)
+    total_duration: jax.Array  # (B,) float — UNclamped predicted frames
+    log_duration: jax.Array  # (B, T_in, 1)
+    speaker_embeddings: Optional[jax.Array]
+
+
+def text_to_latents(
     params: dict,
     config: VitsConfig,
     input_ids: jax.Array,  # (B, T_in) int32
     input_mask: jax.Array,  # (B, T_in) float32, 1=token 0=pad
     num_frames: int,  # static latent-frame capacity
-    rng: Optional[jax.Array] = None,  # jax.random key
+    rng: Optional[jax.Array] = None,
     noise: Optional[NoiseOverride] = None,
-    speaker_id: Optional[jax.Array] = None,  # (B,) int32 for multi-speaker models
+    speaker_id: Optional[jax.Array] = None,
     noise_scale: Optional[float] = None,
     noise_scale_duration: Optional[float] = None,
     speaking_rate: Optional[float] = None,
-) -> SynthesisOutput:
+) -> LatentsOutput:
     p = ParamView(params)
     noise_scale = config.noise_scale if noise_scale is None else noise_scale
     noise_scale_duration = (
@@ -143,14 +153,45 @@ def synthesize(
         p, config, prior_latents, frame_mask3, speaker_embeddings, reverse=True
     )
     latents = latents * frame_mask3
-    waveform = hifigan(p, config, latents, frame_mask3, speaker_embeddings)
+    return LatentsOutput(
+        latents=latents,
+        frame_mask=frame_mask,
+        total_duration=total_duration,
+        log_duration=log_duration,
+        speaker_embeddings=speaker_embeddings,
+    )
 
-    frame_lengths = jnp.minimum(total_duration, float(num_frames)).astype(jnp.int32)
+
+def synthesize(
+    params: dict,
+    config: VitsConfig,
+    input_ids: jax.Array,
+    input_mask: jax.Array,
+    num_frames: int,
+    rng: Optional[jax.Array] = None,
+    noise: Optional[NoiseOverride] = None,
+    speaker_id: Optional[jax.Array] = None,
+    noise_scale: Optional[float] = None,
+    noise_scale_duration: Optional[float] = None,
+    speaking_rate: Optional[float] = None,
+) -> SynthesisOutput:
+    """Full text -> waveform pipeline (latents stage + vocoder) in one program."""
+    p = ParamView(params)
+    lat = text_to_latents(
+        params, config, input_ids, input_mask, num_frames,
+        rng=rng, noise=noise, speaker_id=speaker_id,
+        noise_scale=noise_scale, noise_scale_duration=noise_scale_duration,
+        speaking_rate=speaking_rate,
+    )
+    frame_mask3 = lat.frame_mask[..., None]
+    waveform = hifigan(p, config, lat.latents, frame_mask3, lat.speaker_embeddings)
+
+    frame_lengths = jnp.minimum(lat.total_duration, float(num_frames)).astype(jnp.int32)
     lengths = frame_lengths * config.total_upsample
     return SynthesisOutput(
         waveform=waveform,
         lengths=lengths,
-        frame_lengths=jnp.clip(total_duration, max=2_147_483_000.0).astype(jnp.int32),
-        latents=latents,
-        log_duration=log_duration,
+        frame_lengths=jnp.clip(lat.total_duration, max=2_147_483_000.0).astype(jnp.int32),
+        latents=lat.latents,
+        log_duration=lat.log_duration,
     )

@@ -1,0 +1,112 @@
+"""Device mesh and sharding rules.
+
+The reference has no multi-device anything (SURVEY.md §2b: pthread workers and
+SIMD only; batch==1 asserted).  The TPU-native replacement is not a wire
+protocol but a *naming* layer: a ``jax.sharding.Mesh`` over ('data', 'model')
+axes plus PartitionSpec rules mapping parameter names and activations onto it.
+XLA inserts the collectives (all-gather / reduce-scatter / psum over ICI);
+nothing here speaks NCCL/MPI.
+
+Axes:
+  * ``data``  — batch-parallel synthesis/training (the common scale-out axis).
+  * ``model`` — tensor-parallel sharding of the wide channel dimensions
+    (encoder FFN, attention heads, WaveNet gates, HiFiGAN channels).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Mapping, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    data: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[list] = None,
+) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+# ---------------------------------------------------------------------- #
+# Parameter sharding rules: first regex that matches a canonical-layout
+# param name wins.  Layouts (io/params.py): linear (in, out), conv
+# (k, in, out), conv_transpose (k, in, out), embeddings (vocab, dim).
+# The pattern pairs column-sharded producers with row-sharded consumers so
+# activations stay sharded across the pair and XLA only inserts one psum.
+_PARAM_RULES: list[tuple[re.Pattern, P]] = [
+    # --- text encoder ---------------------------------------------------
+    (re.compile(r".*\.attention\.(q|k|v)_proj\.weight$"), P(None, MODEL_AXIS)),
+    (re.compile(r".*\.attention\.(q|k|v)_proj\.bias$"), P(MODEL_AXIS)),
+    (re.compile(r".*\.attention\.out_proj\.weight$"), P(MODEL_AXIS, None)),
+    (re.compile(r".*\.feed_forward\.conv_1\.weight$"), P(None, None, MODEL_AXIS)),
+    (re.compile(r".*\.feed_forward\.conv_1\.bias$"), P(MODEL_AXIS)),
+    (re.compile(r".*\.feed_forward\.conv_2\.weight$"), P(None, MODEL_AXIS, None)),
+    # --- wavenet gates (2*hidden wide) ----------------------------------
+    (re.compile(r".*wavenet\.in_layers\.\d+\.weight$"), P(None, None, MODEL_AXIS)),
+    (re.compile(r".*wavenet\.in_layers\.\d+\.bias$"), P(MODEL_AXIS)),
+    # --- hifigan: shard the wide channel dims ---------------------------
+    (re.compile(r"decoder\.conv_pre\.weight$"), P(None, None, MODEL_AXIS)),
+    (re.compile(r"decoder\.conv_pre\.bias$"), P(MODEL_AXIS)),
+    (re.compile(r"decoder\.upsampler\.\d+\.weight$"), P(None, MODEL_AXIS, None)),
+    (re.compile(r"decoder\.resblocks\.\d+\.convs\d\.\d+\.weight$"), P(None, None, MODEL_AXIS)),
+    (re.compile(r"decoder\.resblocks\.\d+\.convs\d\.\d+\.bias$"), P(MODEL_AXIS)),
+    # --- posterior encoder ----------------------------------------------
+    (re.compile(r"posterior_encoder\.conv_pre\.weight$"), P(None, None, MODEL_AXIS)),
+    (re.compile(r"posterior_encoder\.conv_pre\.bias$"), P(MODEL_AXIS)),
+]
+
+
+def param_spec(name: str, shape: tuple[int, ...], model_parallel: bool = True) -> P:
+    """PartitionSpec for one parameter (replicated if nothing matches)."""
+    if model_parallel:
+        for pattern, spec in _PARAM_RULES:
+            if pattern.match(name):
+                # Only shard if the sharded dim is divisible-friendly; XLA
+                # requires even division, so fall back to replication otherwise.
+                return spec
+    return P()
+
+
+def shard_params(params: Mapping, mesh: Mesh, model_parallel: bool = True) -> dict:
+    """Place the flat param dict on the mesh according to the rules.
+
+    Dims that don't divide evenly by the axis size fall back to replication.
+    """
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    out = {}
+    for name, value in params.items():
+        spec = param_spec(name, value.shape, model_parallel)
+        dims = list(spec)
+        ok = True
+        for d, axis in enumerate(dims):
+            if axis is not None and value.shape[d] % axis_sizes.get(axis, 1) != 0:
+                ok = False
+                break
+        if not ok:
+            spec = P()
+        out[name] = jax.device_put(value, NamedSharding(mesh, spec))
+    return out
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-sharded activation sharding (leading dim over 'data')."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

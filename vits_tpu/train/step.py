@@ -1,0 +1,156 @@
+"""VITS generator training step — jittable, mesh-shardable.
+
+The reference has no training path (SURVEY.md §5); this implements the VITS
+generator objective end-to-end in one XLA program:
+
+    text --encoder--> prior stats        spec --posterior--> z, (m_q, logs_q)
+    z --flow(fwd)--> z_p
+    MAS(log N(z_p; prior)) --> alignment --> durations + aligned prior
+    losses: KL + SDP duration NLL + 45 * mel-L1 on a random decoded segment
+
+Sharding: batch rides the 'data' mesh axis, wide channel dims optionally ride
+'model' (see vits_tpu.parallel.mesh); under jit XLA inserts the psums/gathers.
+Discriminator (adversarial) training is layered on top in round 2.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vits_tpu.config import VitsConfig
+from vits_tpu.io.params import ParamView
+from vits_tpu.models.duration import stochastic_duration_predictor_nll
+from vits_tpu.models.encoder import text_encoder
+from vits_tpu.models.flow import residual_coupling_block
+from vits_tpu.models.hifigan import hifigan
+from vits_tpu.models.posterior import posterior_encoder
+from vits_tpu.ops.align import monotonic_align, prior_log_likelihood
+from vits_tpu.train.losses import (
+    kl_divergence,
+    random_segment_starts,
+    slice_segments,
+)
+from vits_tpu.utils.mel import log_mel_spectrogram
+
+
+class TrainBatch(NamedTuple):
+    """One padded batch. S = spectrogram frames, T = tokens."""
+
+    input_ids: jax.Array  # (B, T) int32
+    token_mask: jax.Array  # (B, T) float
+    spectrogram: jax.Array  # (B, S, spectrogram_bins) linear spec of target audio
+    frame_mask: jax.Array  # (B, S) float
+    audio: jax.Array  # (B, S * total_upsample) float target waveform
+    speaker_id: Optional[jax.Array] = None  # (B,) int32
+
+
+class TrainMetrics(NamedTuple):
+    loss: jax.Array
+    kl: jax.Array
+    duration: jax.Array
+    mel: jax.Array
+
+
+def generator_loss(
+    params: dict,
+    config: VitsConfig,
+    batch: TrainBatch,
+    rng: jax.Array,
+    segment_frames: int = 32,
+    mel_weight: float = 45.0,
+    mel_kwargs: Optional[dict] = None,
+):
+    mel_kwargs = dict(mel_kwargs or {})
+    mel_kwargs.setdefault("sample_rate", config.sampling_rate)
+    p = ParamView(params)
+    k_post, k_dur, k_seg = jax.random.split(rng, 3)
+    token_mask3 = batch.token_mask[..., None]
+    frame_mask3 = batch.frame_mask[..., None]
+    B, S, _ = batch.spectrogram.shape
+
+    speaker_embeddings = None
+    if config.num_speakers > 1 and batch.speaker_id is not None:
+        emb = jnp.take(p["embed_speaker.weight"], batch.speaker_id, axis=0)
+        speaker_embeddings = emb[:, None, :]
+
+    # --- posterior + flow forward ---------------------------------------- #
+    post_noise = jax.random.normal(k_post, (B, S, config.flow_size), batch.spectrogram.dtype)
+    z, m_q, logs_q = posterior_encoder(
+        p, config, batch.spectrogram, frame_mask3, post_noise, speaker_embeddings
+    )
+    z_p, _ = residual_coupling_block(
+        p, config, z, frame_mask3, speaker_embeddings, reverse=False
+    )
+
+    # --- text prior + MAS alignment --------------------------------------- #
+    enc = text_encoder(p, config, batch.input_ids, token_mask3, batch.token_mask)
+    log_lik = prior_log_likelihood(z_p, enc.prior_means, enc.prior_log_variances)
+    attn = jax.lax.stop_gradient(
+        monotonic_align(log_lik, batch.frame_mask, batch.token_mask)
+    )  # (B, S, T)
+    durations = jnp.sum(attn, axis=1)  # (B, T)
+
+    m_p = jnp.einsum("bst,btc->bsc", attn, enc.prior_means)
+    logs_p = jnp.einsum("bst,btc->bsc", attn, enc.prior_log_variances)
+
+    loss_kl = kl_divergence(z_p, logs_q, m_p, logs_p, batch.frame_mask)
+
+    # --- duration NLL ------------------------------------------------------ #
+    hidden = jax.lax.stop_gradient(enc.last_hidden_state)
+    dur_noise = jax.random.normal(k_dur, (B, batch.input_ids.shape[1], 2), hidden.dtype)
+    dur_nll = stochastic_duration_predictor_nll(
+        p, config, hidden, token_mask3, durations[..., None],
+        dur_noise, speaker_embeddings,
+    )
+    loss_dur = jnp.sum(dur_nll) / jnp.maximum(jnp.sum(batch.token_mask), 1.0)
+
+    # --- mel reconstruction on a random decoded segment -------------------- #
+    frame_lengths = jnp.sum(batch.frame_mask, axis=-1).astype(jnp.int32)
+    starts = random_segment_starts(k_seg, frame_lengths, segment_frames)
+    z_slice = slice_segments(z, starts, segment_frames)
+    wave_hat = hifigan(p, config, z_slice, None, speaker_embeddings)
+
+    up = config.total_upsample
+    audio_slices = slice_segments(
+        batch.audio.reshape(B, S, up), starts, segment_frames
+    ).reshape(B, segment_frames * up)
+    mel_hat = log_mel_spectrogram(wave_hat, **mel_kwargs)
+    mel_ref = log_mel_spectrogram(audio_slices, **mel_kwargs)
+    loss_mel = jnp.mean(jnp.abs(mel_hat - mel_ref))
+
+    total = loss_kl + loss_dur + mel_weight * loss_mel
+    return total, TrainMetrics(loss=total, kl=loss_kl, duration=loss_dur, mel=loss_mel)
+
+
+def make_train_step(
+    config: VitsConfig,
+    optimizer: Any,
+    segment_frames: int = 32,
+    mel_weight: float = 45.0,
+    mel_kwargs: Optional[dict] = None,
+    donate: bool = True,
+):
+    """Build a jitted (params, opt_state, batch, rng) -> (params, opt_state, metrics).
+
+    Pass params/opt_state placed on a mesh (vits_tpu.parallel.mesh.shard_params)
+    and a batch sharded over the 'data' axis; XLA handles the rest.
+    """
+
+    def step(params, opt_state, batch: TrainBatch, rng):
+        (_, metrics), grads = jax.value_and_grad(
+            lambda prm: generator_loss(
+                prm, config, batch, rng, segment_frames, mel_weight, mel_kwargs
+            ),
+            has_aux=True,
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
