@@ -56,7 +56,7 @@ class TrainMetrics(NamedTuple):
     mel: jax.Array
 
 
-def generator_loss(
+def generator_forward(
     params: dict,
     config: VitsConfig,
     batch: TrainBatch,
@@ -65,6 +65,11 @@ def generator_loss(
     mel_weight: float = 45.0,
     mel_kwargs: Optional[dict] = None,
 ):
+    """Forward pass with reconstruction losses.
+
+    Returns (total_recon_loss, metrics, wave_hat, audio_slices) so adversarial
+    terms can be layered on (make_gan_train_step).
+    """
     mel_kwargs = dict(mel_kwargs or {})
     mel_kwargs.setdefault("sample_rate", config.sampling_rate)
     p = ParamView(params)
@@ -124,7 +129,23 @@ def generator_loss(
     loss_mel = jnp.mean(jnp.abs(mel_hat - mel_ref))
 
     total = loss_kl + loss_dur + mel_weight * loss_mel
-    return total, TrainMetrics(loss=total, kl=loss_kl, duration=loss_dur, mel=loss_mel)
+    metrics = TrainMetrics(loss=total, kl=loss_kl, duration=loss_dur, mel=loss_mel)
+    return total, metrics, wave_hat, audio_slices
+
+
+def generator_loss(
+    params: dict,
+    config: VitsConfig,
+    batch: TrainBatch,
+    rng: jax.Array,
+    segment_frames: int = 32,
+    mel_weight: float = 45.0,
+    mel_kwargs: Optional[dict] = None,
+):
+    total, metrics, _, _ = generator_forward(
+        params, config, batch, rng, segment_frames, mel_weight, mel_kwargs
+    )
+    return total, metrics
 
 
 def make_train_step(
@@ -153,4 +174,91 @@ def make_train_step(
         return params, opt_state, metrics
 
     donate_argnums = (0, 1) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+class GanTrainMetrics(NamedTuple):
+    gen_loss: jax.Array
+    disc_loss: jax.Array
+    kl: jax.Array
+    duration: jax.Array
+    mel: jax.Array
+    adversarial: jax.Array
+    feature_matching: jax.Array
+
+
+def make_gan_train_step(
+    config: VitsConfig,
+    gen_optimizer: Any,
+    disc_optimizer: Any,
+    segment_frames: int = 32,
+    mel_weight: float = 45.0,
+    fm_weight: float = 2.0,
+    mel_kwargs: Optional[dict] = None,
+    donate: bool = True,
+):
+    """Full adversarial VITS step: discriminator update, then generator update.
+
+    Signature: (gen_params, disc_params, gen_opt_state, disc_opt_state, batch,
+    rng) -> same-shaped states + GanTrainMetrics.  Matches the VITS recipe —
+    D trained on (real, stop-grad fake) first, G then trained through the
+    updated D with LSGAN + feature-matching + reconstruction losses.
+    """
+    from vits_tpu.models.discriminator import discriminate
+    from vits_tpu.train.losses import (
+        discriminator_loss,
+        feature_matching_loss,
+        generator_adversarial_loss,
+    )
+
+    def step(gen_params, disc_params, gen_opt_state, disc_opt_state, batch, rng):
+        # ---- generator forward (no grad yet) for the D update ---------- #
+        _, _, wave_fake, wave_real = generator_forward(
+            gen_params, config, batch, rng, segment_frames, mel_weight, mel_kwargs
+        )
+        wave_fake = jax.lax.stop_gradient(wave_fake)
+
+        def d_loss_fn(dp):
+            real_logits, _ = discriminate(dp, wave_real)
+            fake_logits, _ = discriminate(dp, wave_fake)
+            return discriminator_loss(real_logits, fake_logits)
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(disc_params)
+        d_updates, disc_opt_state = disc_optimizer.update(
+            d_grads, disc_opt_state, disc_params
+        )
+        disc_params = optax.apply_updates(disc_params, d_updates)
+
+        # ---- generator update through the updated discriminator -------- #
+        def g_loss_fn(gp):
+            recon, metrics, fake, real = generator_forward(
+                gp, config, batch, rng, segment_frames, mel_weight, mel_kwargs
+            )
+            real_logits, real_feats = discriminate(disc_params, real)
+            fake_logits, fake_feats = discriminate(disc_params, fake)
+            adv = generator_adversarial_loss(fake_logits)
+            fm = feature_matching_loss(real_feats, fake_feats)
+            total = recon + adv + fm_weight * fm
+            return total, (metrics, adv, fm)
+
+        (g_loss, (metrics, adv, fm)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(gen_params)
+        g_updates, gen_opt_state = gen_optimizer.update(
+            g_grads, gen_opt_state, gen_params
+        )
+        gen_params = optax.apply_updates(gen_params, g_updates)
+
+        out_metrics = GanTrainMetrics(
+            gen_loss=g_loss,
+            disc_loss=d_loss,
+            kl=metrics.kl,
+            duration=metrics.duration,
+            mel=metrics.mel,
+            adversarial=adv,
+            feature_matching=fm,
+        )
+        return gen_params, disc_params, gen_opt_state, disc_opt_state, out_metrics
+
+    donate_argnums = (0, 1, 2, 3) if donate else ()
     return jax.jit(step, donate_argnums=donate_argnums)
