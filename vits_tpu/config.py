@@ -184,6 +184,9 @@ class EngineConfig:
     compute_dtype: str = "float32"
     # Max batch size compiled into the batched path.
     max_batch: int = 32
+    # Route HiFiGAN resblocks through the fused Pallas kernel.
+    # None = auto (enabled on TPU backends), True/False = force.
+    use_pallas_vocoder: bool | None = None
 
     def frame_bucket(self, token_bucket: int) -> int:
         frames = int(token_bucket * self.frames_per_token)

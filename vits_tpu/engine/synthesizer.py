@@ -85,11 +85,15 @@ class Synthesizer:
     def _compiled(self, num_frames: int):
         config = self.config
 
+        use_pallas = self.engine.use_pallas_vocoder
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+
         @functools.partial(jax.jit, static_argnames=("num_frames",))
         def run(params, input_ids, input_mask, rng, speaker_id, num_frames):
             return synthesize_fn(
                 params, config, input_ids, input_mask, num_frames,
-                rng=rng, speaker_id=speaker_id,
+                rng=rng, speaker_id=speaker_id, use_pallas=use_pallas,
             )
 
         return functools.partial(run, num_frames=num_frames)

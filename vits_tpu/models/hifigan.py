@@ -58,12 +58,32 @@ def _resblock(
     return x
 
 
+def _fused_resblock_call(p, h, mask, kernel_size, dilations, slope):
+    """Route one resblock through the fused Pallas kernel (bit-exact vs XLA)."""
+    from vits_tpu.ops.pallas.resblock import fused_resblock
+
+    pairs = len(dilations)
+    w1 = jnp.stack([p[f"convs1.{i}.weight"] for i in range(pairs)])
+    b1 = jnp.stack([p[f"convs1.{i}.bias"] for i in range(pairs)])
+    w2 = jnp.stack([p[f"convs2.{i}.weight"] for i in range(pairs)])
+    b2 = jnp.stack([p[f"convs2.{i}.bias"] for i in range(pairs)])
+    lengths = None
+    if mask is not None:
+        lengths = jnp.sum(mask[..., 0], axis=1).astype(jnp.int32)
+    return fused_resblock(
+        h, w1, b1, w2, b2,
+        kernel_size=kernel_size, dilations=tuple(dilations), slope=slope,
+        tile_t=2048, lengths=lengths,
+    )
+
+
 def hifigan(
     params: ParamView,
     config: VitsConfig,
     spectrogram: jax.Array,  # (B, T, flow_size) latents
     frame_mask: jax.Array | None = None,  # (B, T, 1)
     global_conditioning: jax.Array | None = None,  # (B, 1, speaker_emb)
+    use_pallas: bool = False,
 ) -> jax.Array:
     """Latents -> waveform (B, T * prod(upsample_rates))."""
     p = params.sub("decoder")
@@ -92,17 +112,31 @@ def hifigan(
             mask = jnp.repeat(mask, rate, axis=1)
             h = h * mask
 
+        # Fused Pallas path: profitable on the wide-channel stages; Mosaic's
+        # HBM slices need the lane (channel) dim aligned to 128, so narrow
+        # tail stages stay on XLA.
+        channels = h.shape[-1]
+        fuse = use_pallas and channels % 128 == 0 and h.dtype == jnp.float32
+
         res_state = None
         for j in range(num_kernels):
             block = p.sub(f"resblocks.{i * num_kernels + j}")
-            block_out = _resblock(
-                block,
-                h,
-                mask,
-                config.resblock_kernel_sizes[j],
-                config.resblock_dilation_sizes[j],
-                slope,
-            )
+            if fuse:
+                block_out = _fused_resblock_call(
+                    block, h, mask,
+                    config.resblock_kernel_sizes[j],
+                    config.resblock_dilation_sizes[j],
+                    slope,
+                )
+            else:
+                block_out = _resblock(
+                    block,
+                    h,
+                    mask,
+                    config.resblock_kernel_sizes[j],
+                    config.resblock_dilation_sizes[j],
+                    slope,
+                )
             res_state = block_out if res_state is None else res_state + block_out
         h = res_state / num_kernels
 

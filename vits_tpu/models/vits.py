@@ -174,6 +174,7 @@ def synthesize(
     noise_scale: Optional[float] = None,
     noise_scale_duration: Optional[float] = None,
     speaking_rate: Optional[float] = None,
+    use_pallas: bool = False,
 ) -> SynthesisOutput:
     """Full text -> waveform pipeline (latents stage + vocoder) in one program."""
     p = ParamView(params)
@@ -184,7 +185,10 @@ def synthesize(
         speaking_rate=speaking_rate,
     )
     frame_mask3 = lat.frame_mask[..., None]
-    waveform = hifigan(p, config, lat.latents, frame_mask3, lat.speaker_embeddings)
+    waveform = hifigan(
+        p, config, lat.latents, frame_mask3, lat.speaker_embeddings,
+        use_pallas=use_pallas,
+    )
 
     frame_lengths = jnp.minimum(lat.total_duration, float(num_frames)).astype(jnp.int32)
     lengths = frame_lengths * config.total_upsample
