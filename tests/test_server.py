@@ -1,0 +1,90 @@
+"""HTTP serving layer: end-to-end requests, micro-batching, error paths."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from vits_tpu.config import EngineConfig
+from vits_tpu.engine.server import serve
+from vits_tpu.engine.synthesizer import Synthesizer
+from vits_tpu.text.tokenizer import VitsTokenizer
+
+VOCAB = {c: i for i, c in enumerate("kzyuvdheswm' ablc")}
+
+
+@pytest.fixture(scope="module")
+def running_server(tiny_bundle):
+    config, params = tiny_bundle
+    tok = VitsTokenizer(vocab=dict(VOCAB), pad_token="k", unk_token="z")
+    model = Synthesizer(config, tok, params, EngineConfig(token_buckets=(32,)))
+    server, worker = serve(model, port=0, batch_window_ms=20.0, max_batch=8)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    port = server.server_address[1]
+    yield f"http://127.0.0.1:{port}", worker
+    worker.stop()
+    server.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url + "/synthesize",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    return urllib.request.urlopen(req, timeout=120)
+
+
+def test_healthz(running_server):
+    url, _ = running_server
+    with urllib.request.urlopen(url + "/healthz", timeout=30) as resp:
+        data = json.loads(resp.read())
+    assert data["status"] == "ok"
+
+
+def test_synthesize_returns_wav(running_server):
+    url, _ = running_server
+    with _post(url, {"text": "hello dame"}) as resp:
+        assert resp.headers["Content-Type"] == "audio/wav"
+        body = resp.read()
+    assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+    assert len(body) > 44
+
+
+def test_concurrent_requests_batched(running_server):
+    url, worker = running_server
+    batches_before = worker.stats["batches"]
+    results = {}
+
+    def hit(i):
+        with _post(url, {"text": f"hello dame {i % 3}"}) as resp:
+            results[i] = resp.read()
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert len(results) == 6
+    assert all(r[:4] == b"RIFF" for r in results.values())
+    batches = worker.stats["batches"] - batches_before
+    # 6 concurrent requests must share dispatches (fewer batches than requests)
+    assert 1 <= batches < 6
+
+
+def test_missing_text_400(running_server):
+    url, _ = running_server
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(url, {"nope": 1})
+    assert err.value.code == 400
+
+
+def test_unknown_route_404(running_server):
+    url, _ = running_server
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(url + "/bogus", timeout=30)
+    assert err.value.code == 404

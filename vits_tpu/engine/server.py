@@ -1,0 +1,202 @@
+"""HTTP synthesis server with micro-batching.
+
+The reference has "no serving daemon" (SURVEY.md intro) — its deployment story
+is a C ABI you embed.  For TPU serving the economics invert: one chip runs
+>100x real-time, so the scarce resource is dispatch slots, and the server's job
+is to pack concurrent requests into one padded batch per dispatch.  Requests
+arriving within ``batch_window_ms`` of each other (up to ``max_batch``) ride a
+single jitted program; each caller gets back its own trimmed WAV.
+
+Endpoints:
+    POST /synthesize   {"text": "...", "speaker_id": 0?, "seed": 0?} -> audio/wav
+    GET  /healthz      -> {"status": "ok", ...}
+
+stdlib-only (http.server + threads); start with ``serve(model, port)`` or
+``python -m vits_tpu.engine.server --model m.ggml --port 8080``.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from vits_tpu.utils.wav import write_wav
+
+
+@dataclass
+class _Request:
+    text: str
+    speaker_id: Optional[int]
+    seed: int
+    done: threading.Event = field(default_factory=threading.Event)
+    audio: Optional[np.ndarray] = None
+    error: Optional[str] = None
+
+
+class BatchingWorker:
+    """Collects requests into padded batches and runs one dispatch per batch."""
+
+    def __init__(self, model, batch_window_ms: float = 5.0, max_batch: int = 16):
+        self.model = model
+        self.window = batch_window_ms / 1000.0
+        self.max_batch = max_batch
+        self.queue: "queue.Queue[_Request]" = queue.Queue()
+        self.stats = {"requests": 0, "batches": 0, "audio_seconds": 0.0}
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, req: _Request) -> None:
+        self.queue.put(req)
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def _collect(self) -> list[_Request]:
+        try:
+            first = self.queue.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.perf_counter() + self.window
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self.queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            try:
+                # Group by speaker presence; pass per-row speakers when needed.
+                texts = [r.text for r in batch]
+                speaker = None
+                if any(r.speaker_id is not None for r in batch):
+                    speaker = [r.speaker_id or 0 for r in batch]
+                waves = self.model.synthesize(texts, seed=batch[0].seed, speaker_id=speaker)
+                if isinstance(waves, np.ndarray):
+                    waves = [waves]
+                rate = self.model.config.sampling_rate
+                for req, wave in zip(batch, waves):
+                    req.audio = wave
+                    self.stats["audio_seconds"] += len(wave) / rate
+                    req.done.set()
+                self.stats["requests"] += len(batch)
+                self.stats["batches"] += 1
+            except Exception as exc:  # surface errors to every waiter
+                for req in batch:
+                    req.error = f"{type(exc).__name__}: {exc}"
+                    req.done.set()
+
+
+def make_handler(worker: BatchingWorker, model):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _json(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok", **worker.stats})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/synthesize":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                text = payload.get("text")
+                if not text or not isinstance(text, str):
+                    self._json(400, {"error": "missing 'text'"})
+                    return
+                req = _Request(
+                    text=text,
+                    speaker_id=payload.get("speaker_id"),
+                    seed=int(payload.get("seed", 0)),
+                )
+            except (ValueError, json.JSONDecodeError) as exc:
+                self._json(400, {"error": f"bad request: {exc}"})
+                return
+            worker.submit(req)
+            req.done.wait(timeout=120)
+            if req.error is not None:
+                self._json(500, {"error": req.error})
+                return
+            if req.audio is None:
+                self._json(504, {"error": "synthesis timed out"})
+                return
+            buf = io.BytesIO()
+            write_wav(buf, req.audio, model.config.sampling_rate)
+            data = buf.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    return Handler
+
+
+def serve(model, port: int = 8080, host: str = "127.0.0.1",
+          batch_window_ms: float = 5.0, max_batch: int = 16):
+    """Blocking serve loop. Returns (server, worker) if you thread it yourself."""
+    worker = BatchingWorker(model, batch_window_ms, max_batch)
+    server = ThreadingHTTPServer((host, port), make_handler(worker, model))
+    return server, worker
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--batch-window-ms", type=float, default=5.0)
+    ap.add_argument("--max-batch", type=int, default=16)
+    args = ap.parse_args(argv)
+
+    import vits_tpu
+
+    model = vits_tpu.load_model(args.model)
+    model.warmup(batch_sizes=(1,), token_buckets=model.engine.token_buckets[:2])
+    server, worker = serve(
+        model, args.port, args.host, args.batch_window_ms, args.max_batch
+    )
+    print(f"vits_tpu serving on http://{args.host}:{args.port}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        worker.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
