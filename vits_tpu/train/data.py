@@ -1,0 +1,188 @@
+"""Training data pipeline: (text, wav) corpus -> padded TrainBatch streams.
+
+The reference has no data loader (inference only).  This one feeds the VITS
+objective from an LJSpeech-layout corpus:
+
+    corpus/
+      metadata.csv          # id|transcript  (LJSpeech uses id|raw|normalized)
+      wavs/<id>.wav         # 16-bit PCM mono at config.sampling_rate
+
+Design: numpy-only host pipeline (no torch), linear spectrograms computed with
+the same STFT the posterior encoder consumes (n_fft = 2*(spectrogram_bins-1),
+hop = total_upsample so frames align 1:1 with latent frames), length-bucketed
+shuffled batches with masks, audio padded to frames*total_upsample.  A worker
+thread prefetches batches so host prep overlaps device steps.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from vits_tpu.config import VitsConfig
+from vits_tpu.text.tokenizer import VitsTokenizer
+from vits_tpu.train.step import TrainBatch
+from vits_tpu.utils.mel import hann_window
+from vits_tpu.utils.wav import read_wav
+
+
+def linear_spectrogram(audio: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
+    """|STFT| magnitude with VITS framing: reflect-pad (n_fft-hop)/2 per side,
+    no centering — exactly T/hop frames so spectrogram frames align 1:1 with
+    latent frames."""
+    pad = (n_fft - hop) // 2
+    x = np.pad(audio, (pad, pad), mode="reflect")
+    n_frames = 1 + (len(x) - n_fft) // hop
+    window = hann_window(n_fft)
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    frames = x[idx] * window
+    return np.abs(np.fft.rfft(frames, axis=-1)).astype(np.float32)
+
+
+@dataclass
+class Utterance:
+    utt_id: str
+    text: str
+    wav_path: str
+
+
+def read_metadata(corpus_dir: str) -> list[Utterance]:
+    path = os.path.join(corpus_dir, "metadata.csv")
+    utts = []
+    with open(path, encoding="utf-8") as f:
+        for row in csv.reader(f, delimiter="|"):
+            if not row:
+                continue
+            utt_id = row[0].strip()
+            text = row[-1].strip()  # last column = normalized transcript
+            wav = os.path.join(corpus_dir, "wavs", utt_id + ".wav")
+            if os.path.exists(wav):
+                utts.append(Utterance(utt_id, text, wav))
+    return utts
+
+
+class VitsDataset:
+    def __init__(
+        self,
+        corpus_dir: str,
+        tokenizer: VitsTokenizer,
+        config: VitsConfig,
+        max_frames: int = 400,
+        min_frames: int = 8,
+    ):
+        self.tokenizer = tokenizer
+        self.config = config
+        self.n_fft = 2 * (config.spectrogram_bins - 1)
+        self.hop = config.total_upsample
+        self.max_frames = max_frames
+        self.min_frames = min_frames
+        self.utterances = read_metadata(corpus_dir)
+        if not self.utterances:
+            raise FileNotFoundError(f"no utterances found under {corpus_dir}")
+
+    def __len__(self) -> int:
+        return len(self.utterances)
+
+    def load(self, utt: Utterance):
+        """-> (token_ids, spectrogram (S, bins), audio (S*hop,)) or None."""
+        audio, rate = read_wav(utt.wav_path)
+        if rate != self.config.sampling_rate:
+            raise ValueError(
+                f"{utt.wav_path}: rate {rate} != config {self.config.sampling_rate}"
+            )
+        ids = self.tokenizer.encode(utt.text)
+        n_frames = min(len(audio) // self.hop, self.max_frames)
+        if n_frames < self.min_frames or not ids:
+            return None
+        audio = audio[: n_frames * self.hop]
+        spec = linear_spectrogram(audio, self.n_fft, self.hop)[:n_frames]
+        return np.asarray(ids, np.int32), spec, audio
+
+    def batches(
+        self,
+        batch_size: int,
+        rng: np.random.Generator,
+        epochs: Optional[int] = None,
+        bucket_mult: int = 32,
+    ) -> Iterator[TrainBatch]:
+        """Shuffled, length-bucketed padded batches; loops `epochs` times (None=forever)."""
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            order = rng.permutation(len(self.utterances))
+            # sort within large shuffled chunks by audio length to reduce padding
+            chunk = batch_size * 16
+            for start in range(0, len(order), chunk):
+                idxs = sorted(
+                    order[start : start + chunk],
+                    key=lambda i: os.path.getsize(self.utterances[i].wav_path),
+                )
+                for b0 in range(0, len(idxs), batch_size):
+                    items = []
+                    for i in idxs[b0 : b0 + batch_size]:
+                        loaded = self.load(self.utterances[i])
+                        if loaded is not None:
+                            items.append(loaded)
+                    if not items:
+                        continue
+                    yield self._collate(items, bucket_mult)
+            epoch += 1
+
+    def _collate(self, items, bucket_mult: int) -> TrainBatch:
+        B = len(items)
+        t_max = max(len(ids) for ids, _, _ in items)
+        s_max = max(spec.shape[0] for _, spec, _ in items)
+        t_pad = ((t_max + bucket_mult - 1) // bucket_mult) * bucket_mult
+        s_pad = ((s_max + bucket_mult - 1) // bucket_mult) * bucket_mult
+
+        input_ids = np.zeros((B, t_pad), np.int32)
+        token_mask = np.zeros((B, t_pad), np.float32)
+        spec = np.zeros((B, s_pad, self.config.spectrogram_bins), np.float32)
+        frame_mask = np.zeros((B, s_pad), np.float32)
+        audio = np.zeros((B, s_pad * self.hop), np.float32)
+        for b, (ids, sp, au) in enumerate(items):
+            input_ids[b, : len(ids)] = ids
+            token_mask[b, : len(ids)] = 1.0
+            spec[b, : sp.shape[0]] = sp
+            frame_mask[b, : sp.shape[0]] = 1.0
+            audio[b, : len(au)] = au
+        return TrainBatch(
+            input_ids=input_ids,
+            token_mask=token_mask,
+            spectrogram=spec,
+            frame_mask=frame_mask,
+            audio=audio,
+        )
+
+
+class Prefetcher:
+    """Background-thread batch prefetch (host prep overlaps device compute)."""
+
+    def __init__(self, iterator: Iterator, depth: int = 2):
+        self._queue: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._done = object()
+        self._thread = threading.Thread(
+            target=self._fill, args=(iterator,), daemon=True
+        )
+        self._thread.start()
+
+    def _fill(self, iterator):
+        try:
+            for item in iterator:
+                self._queue.put(item)
+        finally:
+            self._queue.put(self._done)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._queue.get()
+        if item is self._done:
+            raise StopIteration
+        return item
