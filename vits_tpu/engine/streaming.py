@@ -17,14 +17,12 @@ at runtime in tests by exact comparison.
 
 from __future__ import annotations
 
-import functools
 from typing import Iterator, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vits_tpu.config import VitsConfig
 from vits_tpu.io.params import ParamView
 from vits_tpu.models.hifigan import hifigan
 from vits_tpu.models.vits import text_to_latents

@@ -60,6 +60,15 @@ class Synthesizer:
             return jax.device_put(arr, device) if device is not None else arr
 
         self.params = {k: _place(v) for k, v in params.items()}
+        # Observability counters (the reference's verbose/log machinery,
+        # vits.cpp:1234-1239, reimagined as structured stats).
+        self.stats = {
+            "dispatches": 0,
+            "redispatches": 0,
+            "compiled_shapes": 0,
+            "audio_seconds": 0.0,
+            "wall_seconds": 0.0,
+        }
 
     # ------------------------------------------------------------------ #
     @classmethod
@@ -99,14 +108,20 @@ class Synthesizer:
         return functools.partial(run, num_frames=num_frames)
 
     def _dispatch(self, ids: np.ndarray, mask: np.ndarray, num_frames: int, rng, speaker_id):
+        import time
+
+        t0 = time.perf_counter()
         fn = self._compiled(num_frames)
-        return fn(
+        out = fn(
             self.params,
             jnp.asarray(ids),
             jnp.asarray(mask, dtype=self.compute_dtype),
             rng,
             speaker_id,
         )
+        self.stats["dispatches"] += 1
+        self.stats["wall_seconds"] += time.perf_counter() - t0
+        return out
 
     # ------------------------------------------------------------------ #
     def synthesize(
@@ -172,7 +187,11 @@ class Synthesizer:
             # ladder instead of one program per utterance length.
             while num_frames < predicted:
                 num_frames *= 2
+            self.stats["redispatches"] += 1
             out = self._dispatch(ids, mask, num_frames, rng, spk)
+        self.stats["audio_seconds"] += float(
+            np.sum(np.asarray(out.lengths))
+        ) / self.config.sampling_rate
         return out
 
     # ------------------------------------------------------------------ #

@@ -19,7 +19,6 @@ checkpoints (save_quantized / load_quantized).
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Mapping
 

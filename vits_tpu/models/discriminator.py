@@ -13,7 +13,6 @@ All convs run in NTC/NHWC so channels ride the TPU lane axis.
 from __future__ import annotations
 
 import math
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ import ctypes.util
 import re
 import shutil
 import subprocess
-from typing import Optional
 
 _PUNCT = "!\\,.:;?"
 

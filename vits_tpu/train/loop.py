@@ -13,7 +13,6 @@ inference engine or the reference implementation.
 from __future__ import annotations
 
 import time
-from typing import Optional
 
 import numpy as np
 

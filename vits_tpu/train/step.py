@@ -15,7 +15,6 @@ Discriminator (adversarial) training is layered on top in round 2.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple, Optional
 
 import jax
