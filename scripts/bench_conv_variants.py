@@ -1,12 +1,20 @@
-"""Micro-shootout: 1-D conv formulations at HiFiGAN resblock shapes on TPU.
+"""Micro-shootout: 1-D conv formulations at HiFiGAN shapes on TPU.
 
 The reference's analogue is bench_simd.cpp (dot-product/conv inner-loop
-variants).  Here the contenders are XLA lowerings:
+variants).  Contenders:
+
+Regular dilated convs (resblock shapes):
   a) lax.conv_general_dilated (NHC)
   b) shift-matmul: y = sum_k shift(x, k*dil) @ W[k]  (k explicit MXU matmuls)
   c) im2col + single matmul
 
-Run: python scripts/bench_conv_variants.py
+Transposed convs (upsampler shapes, --transpose):
+  a) input-dilated conv_general_dilated (ops/conv.py fallback path)
+  b) dense matmul + strided overlap-add (ops/conv.py fast path; measured
+     ~1.3x faster on the wide stages of a v5e — the basis for the
+     C_in >= 256 gate in conv_transpose1d)
+
+Run: python scripts/bench_conv_variants.py [--transpose]
 """
 
 import sys
@@ -61,7 +69,41 @@ def conv_im2col(x, w, dil):
     return jnp.einsum("btkc,kcd->btd", cols, w)
 
 
+def bench_transpose():
+    """Transposed-conv formulations at the HiFiGAN upsampler shapes."""
+    from vits_tpu.ops.conv import _conv_transpose_matmul
+
+    def convt_dilated(x, kernel, stride, padding):
+        k = kernel.shape[0]
+        pad = k - 1 - padding
+        return lax.conv_general_dilated(
+            x, kernel, (1,), ((pad, pad),), lhs_dilation=(stride,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+
+    rng = np.random.default_rng(0)
+    for label, B, T, Cin, Cout, k, s in [
+        ("upsample1 512->256 k16s8", 1, 1024, 512, 256, 16, 8),
+        ("upsample2 256->128 k16s8", 1, 8192, 256, 128, 16, 8),
+        ("upsample3 128->64 k4s2", 1, 65536, 128, 64, 4, 2),
+        ("upsample4 64->32 k4s2", 1, 131072, 64, 32, 4, 2),
+    ]:
+        x = jnp.asarray(rng.standard_normal((B, T, Cin)), jnp.float32)
+        kern = jnp.asarray(rng.standard_normal((k, Cin, Cout)) * 0.05, jnp.float32)
+        p = (k - s) // 2
+        f1 = jax.jit(lambda x: convt_dilated(x, kern, s, p))
+        f2 = jax.jit(lambda x: _conv_transpose_matmul(x, kern, None, s, p))
+        err = np.abs(np.asarray(f1(x)) - np.asarray(f2(x))).max()
+        print(f"{label:>26}: dilated={timeit(f1, x):7.3f}ms "
+              f"matmul_oa={timeit(f2, x):7.3f}ms  maxerr={err:.2e}")
+
+
 def main():
+    import sys as _sys
+
+    if "--transpose" in _sys.argv:
+        bench_transpose()
+        return
     shapes = [
         # (label, B, T, C, k, dil)  — HiFiGAN stage shapes for 1024 frames
         ("stage1 res k11d5", 1, 8192, 256, 11, 5),

@@ -35,10 +35,14 @@ def main() -> int:
     tok = VitsTokenizer(vocab=vocab, pad_token="k", unk_token="z")
     model = Synthesizer(
         config, tok, params,
-        EngineConfig(token_buckets=(256,), frames_per_token=2.0),
+        EngineConfig(token_buckets=(1024,), frames_per_token=2.0),
     )
     stream = StreamingDecoder(model, chunk_frames=args.chunk_frames, margin_frames=20)
-    text = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    # Streaming targets long utterances (paragraph-scale): the one-shot decode
+    # grows with length while TTFA stays one latents pass + one chunk.
+    text = ("the quick brown fox jumps over the lazy dog near the riverbank "
+            "while morning light settles over the quiet valley and the river "
+            "hums its old song to anyone patient enough to listen ") * 3
 
     # warm both paths
     model.synthesize_raw(text, max_redispatch=0)

@@ -61,20 +61,33 @@ class BatchingWorker:
         self._stop.set()
 
     def _collect(self) -> list[_Request]:
+        """Collect a batch of requests sharing one seed.
+
+        A dispatch draws noise from ONE key, so only same-seed requests may
+        share a batch (each row still gets independent noise from that key);
+        other-seed requests are re-queued for the next batch.
+        """
         try:
             first = self.queue.get(timeout=0.1)
         except queue.Empty:
             return []
         batch = [first]
+        requeue: list[_Request] = []
         deadline = time.perf_counter() + self.window
         while len(batch) < self.max_batch:
             remaining = deadline - time.perf_counter()
             if remaining <= 0:
                 break
             try:
-                batch.append(self.queue.get(timeout=remaining))
+                req = self.queue.get(timeout=remaining)
             except queue.Empty:
                 break
+            if req.seed == first.seed:
+                batch.append(req)
+            else:
+                requeue.append(req)
+        for req in requeue:
+            self.queue.put(req)
         return batch
 
     def _loop(self) -> None:

@@ -56,25 +56,40 @@ class StreamingDecoder:
             config = self.synth.config
 
             @jax.jit
-            def run(params, ids, mask, rng):
-                return text_to_latents(params, config, ids, mask, num_frames, rng=rng)
+            def run(params, ids, mask, rng, speaker_id):
+                return text_to_latents(
+                    params, config, ids, mask, num_frames,
+                    rng=rng, speaker_id=speaker_id,
+                )
 
             self._latents_fn_cache[num_frames] = run
         return self._latents_fn_cache[num_frames]
 
+    def _use_pallas(self) -> bool:
+        # Match Synthesizer._compiled so streamed chunks run the SAME vocoder
+        # path as one-shot synthesis (sample-exactness holds per backend).
+        flag = self.synth.engine.use_pallas_vocoder
+        return jax.default_backend() == "tpu" if flag is None else flag
+
     def _decode_fn(self, window: int):
         if window not in self._decode_fn_cache:
             config = self.synth.config
+            use_pallas = self._use_pallas()
 
             @jax.jit
-            def run(params, latents, mask):
-                return hifigan(ParamView(params), config, latents, mask)
+            def run(params, latents, mask, speaker_embeddings):
+                return hifigan(
+                    ParamView(params), config, latents, mask,
+                    speaker_embeddings, use_pallas=use_pallas,
+                )
 
             self._decode_fn_cache[window] = run
         return self._decode_fn_cache[window]
 
     # ------------------------------------------------------------------ #
-    def stream(self, text: str, seed: int = 0) -> Iterator[np.ndarray]:
+    def stream(
+        self, text: str, seed: int = 0, speaker_id: int | None = None
+    ) -> Iterator[np.ndarray]:
         """Yield float32 PCM chunks; concatenation == one-shot synthesis."""
         synth = self.synth
         tok = synth.tokenizer
@@ -82,12 +97,13 @@ class StreamingDecoder:
 
         encoded = tok.encode(text)
         t_bucket = _next_bucket(synth.engine.token_buckets, max(len(encoded), 1))
-        ids, mask = tok([text], pad_to=t_bucket)
+        ids, mask = tok.pad([encoded], pad_to=t_bucket)
         num_frames = synth.engine.frame_bucket(t_bucket)
+        spk = None if speaker_id is None else np.asarray([speaker_id], np.int32)
 
         rng = jax.random.PRNGKey(seed)
         lat = self._latents_fn(num_frames)(
-            synth.params, jnp.asarray(ids), jnp.asarray(mask), rng
+            synth.params, jnp.asarray(ids), jnp.asarray(mask), rng, spk
         )
         # Escalate capacity (doubling ladder, like Synthesizer.synthesize_raw)
         # if the predicted length overflowed the frame bucket.
@@ -98,7 +114,7 @@ class StreamingDecoder:
             while num_frames < predicted:
                 num_frames *= 2
             lat = self._latents_fn(num_frames)(
-                synth.params, jnp.asarray(ids), jnp.asarray(mask), rng
+                synth.params, jnp.asarray(ids), jnp.asarray(mask), rng, spk
             )
         valid_frames = int(np.minimum(np.asarray(lat.total_duration)[0], num_frames))
         latents = lat.latents
@@ -110,7 +126,9 @@ class StreamingDecoder:
 
         if num_frames <= window:
             # Utterance fits in one window: plain one-shot decode.
-            wave = self._decode_fn(num_frames)(synth.params, latents, frame_mask)
+            wave = self._decode_fn(num_frames)(
+                synth.params, latents, frame_mask, lat.speaker_embeddings
+            )
             yield np.asarray(wave)[0, : valid_frames * up]
             return
 
@@ -120,12 +138,14 @@ class StreamingDecoder:
             lo = min(max(start - margin, 0), num_frames - window)
             piece = latents[:, lo : lo + window]
             piece_mask = frame_mask[:, lo : lo + window]
-            wave = decode(synth.params, piece, piece_mask)
+            wave = decode(synth.params, piece, piece_mask, lat.speaker_embeddings)
             offset = (start - lo) * up
             n_valid = min(chunk, valid_frames - start) * up
             yield np.asarray(wave)[0, offset : offset + n_valid]
             start += chunk
 
-    def synthesize_streaming(self, text: str, seed: int = 0) -> np.ndarray:
+    def synthesize_streaming(
+        self, text: str, seed: int = 0, speaker_id: int | None = None
+    ) -> np.ndarray:
         """Convenience: concatenate all streamed chunks."""
-        return np.concatenate(list(self.stream(text, seed=seed)))
+        return np.concatenate(list(self.stream(text, seed=seed, speaker_id=speaker_id)))

@@ -164,7 +164,7 @@ class Synthesizer:
         encoded = [self.tokenizer.encode(t) for t in texts]
         max_len = max((len(e) for e in encoded), default=1) or 1
         t_bucket = _next_bucket(self.engine.token_buckets, max_len)
-        ids, mask = self.tokenizer(texts, pad_to=t_bucket)
+        ids, mask = self.tokenizer.pad(encoded, pad_to=t_bucket)
         if pad_to_batch is not None and ids.shape[0] < pad_to_batch:
             pad_rows = pad_to_batch - ids.shape[0]
             ids = np.pad(ids, ((0, pad_rows), (0, 0)))

@@ -100,9 +100,20 @@ class ParamView:
     def __getitem__(self, name: str):
         key = self._prefix + name
         try:
-            return self._params[key]
+            value = self._params[key]
         except KeyError:
             raise KeyError(f"parameter not found: {key}") from None
+        # Int8-quantized weights (vits_tpu.io.quantize) are stored alongside
+        # per-out-channel ".scale" arrays; dequantize at access so quantized
+        # param dicts are drop-ins everywhere (jit traces the multiply and XLA
+        # fuses it into the consuming conv — weights stay int8 in HBM).
+        if hasattr(value, "dtype") and value.dtype == "int8":
+            scale = self._params.get(key + ".scale")
+            if scale is not None:
+                return value.astype("float32") * scale.reshape(
+                    (1,) * (value.ndim - 1) + (-1,)
+                )
+        return value
 
     def __contains__(self, name: str) -> bool:
         return (self._prefix + name) in self._params

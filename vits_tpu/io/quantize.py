@@ -74,24 +74,15 @@ def dequantize_params(qparams: Mapping[str, np.ndarray]) -> dict[str, np.ndarray
 
 
 class QuantizedParams(dict):
-    """Flat param mapping that stores int8+scale and dequantizes on access.
+    """Back-compat alias: a plain flat dict of int8 weights + ``.scale`` entries.
 
-    Drop-in for the plain dict the models consume (ParamView indexes it);
-    inside jit the dequantize is traced per use and fused by XLA, so weights
-    live in HBM as int8.
+    The dequantize-on-access logic lives in ``ParamView.__getitem__``
+    (vits_tpu.io.params) — it must, because jit pytree flattening strips dict
+    subclasses, so any behavior on this class would silently vanish inside a
+    compiled function.  The output of ``quantize_params`` is therefore a
+    drop-in params dict for every engine/model entry point (Synthesizer,
+    synthesize, hifigan, ...), wrapped in this class or not.
     """
-
-    def __init__(self, qparams: Mapping[str, jnp.ndarray]):
-        super().__init__(qparams)
-
-    def __getitem__(self, name):
-        value = super().__getitem__(name)
-        if value.dtype == jnp.int8:
-            scale = super().__getitem__(name + ".scale")
-            return value.astype(jnp.float32) * scale.reshape(
-                (1,) * (value.ndim - 1) + (-1,)
-            )
-        return value
 
 
 def save_quantized(path: str, qparams: Mapping[str, np.ndarray]) -> None:

@@ -135,12 +135,23 @@ def text_to_latents(
     else:
         log_duration = duration_predictor(p, config, hidden, padding_mask, speaker_embeddings)
 
+    # Duration/alignment bookkeeping always runs in float32: bf16 cannot
+    # represent integers above 256 exactly, so cumsum/arange/comparisons in
+    # the compute dtype would mis-assign frames on longer utterances.
     length_scale = 1.0 / speaking_rate
-    duration = jnp.ceil(jnp.exp(log_duration) * padding_mask * length_scale)[..., 0]
+    duration = jnp.ceil(
+        jnp.exp(log_duration.astype(jnp.float32))
+        * padding_mask.astype(jnp.float32)
+        * length_scale
+    )[..., 0]
     total_duration = jnp.clip(jnp.sum(duration, axis=-1), min=1.0)
 
     # ---- Static-shape length regulation (vits.cpp:1021-1057 recast) ------- #
-    attn, frame_mask = align_durations(duration, input_mask, num_frames)
+    attn, frame_mask = align_durations(
+        duration, input_mask.astype(jnp.float32), num_frames
+    )
+    attn = attn.astype(enc.prior_means.dtype)
+    frame_mask = frame_mask.astype(enc.prior_means.dtype)
     prior_means = jnp.einsum("bft,btc->bfc", attn, enc.prior_means)
     prior_log_variances = jnp.einsum("bft,btc->bfc", attn, enc.prior_log_variances)
 

@@ -76,13 +76,22 @@ def conv_transpose1d(
     stride: int,
     padding: int = 0,
 ) -> jax.Array:
-    """torch ConvTranspose1d(stride, padding) as an input-dilated regular conv.
+    """torch ConvTranspose1d(stride, padding) — two XLA formulations.
 
     kernel: (k, C_in, C_out) *already spatially reversed* at load time
     (io/params.py: kernel[t, i, o] = W_torch[i, o, k-1-t]).  Output length is
     (T-1)*stride + k - 2*padding, matching torch.
+
+    When k is a multiple of the stride and the input is wide (the HiFiGAN
+    upsampler shapes), the transposed conv is computed as ONE dense matmul
+    (T, C_in) @ (C_in, k*C_out) followed by a cheap strided overlap-add —
+    profiled ~1.3x faster than XLA's input-dilated conv on the wide stages of
+    a v5e (scripts note in bench_conv_variants.py); otherwise falls back to
+    ``lax.conv_general_dilated`` with lhs_dilation.
     """
     k = kernel.shape[0]
+    if k % stride == 0 and x.shape[-1] >= 256:
+        return _conv_transpose_matmul(x, kernel, bias, stride, padding)
     pad = k - 1 - padding
     out = lax.conv_general_dilated(
         x,
@@ -95,6 +104,30 @@ def conv_transpose1d(
     if bias is not None:
         out = out + bias
     return out
+
+
+def _conv_transpose_matmul(x, kernel, bias, stride, padding):
+    """Dense-matmul + overlap-add transposed conv (k % stride == 0).
+
+    y[i*s + j] = sum_g pieces[i - g, g*s + j] with pieces = x @ W per tap,
+    where W is the un-reversed torch tap order.
+    """
+    k, _cin, cout = kernel.shape
+    taps = jnp.flip(kernel, axis=0)  # taps[t, i, o] = W_torch[i, o, t]
+    B, T, _ = x.shape
+    s = stride
+    r = k // s
+    pieces = jnp.einsum("btc,kcd->btkd", x, taps)  # (B, T, k, C_out) — one MXU matmul
+    pieces = pieces.reshape(B, T, r, s, cout)
+    y = jnp.zeros((B, T + r - 1, s, cout), x.dtype)
+    for g in range(r):
+        y = y.at[:, g : g + T].add(pieces[:, :, g])
+    n_out_full = (T - 1) * s + k
+    y = y.reshape(B, (T + r - 1) * s, cout)[:, :n_out_full]
+    y = y[:, padding : n_out_full - padding]
+    if bias is not None:
+        y = y + bias
+    return y
 
 
 def layer_norm(x: jax.Array, weight: jax.Array, bias: jax.Array, eps: float = 1e-5):

@@ -121,7 +121,16 @@ class VitsTokenizer:
         """Batch-encode to (input_ids, attention_mask) int32/float arrays."""
         if isinstance(texts, str):
             texts = [texts]
-        encoded = [self.encode(t) for t in texts]
+        return self.pad([self.encode(t) for t in texts], pad_to)
+
+    def pad(
+        self,
+        encoded: Sequence[Sequence[int]],
+        pad_to: Optional[int] = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Pad pre-encoded id lists to (input_ids, attention_mask) arrays —
+        lets callers that already tokenized (for bucket selection) avoid a
+        second pass through the greedy matcher."""
         max_len = max((len(e) for e in encoded), default=1)
         length = pad_to if pad_to is not None else max_len
         if max_len > length:
