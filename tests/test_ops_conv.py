@@ -37,9 +37,12 @@ def test_depthwise_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(got), expected, atol=1e-5)
 
 
-@pytest.mark.parametrize("Cin,Cout,k,s", [(6, 4, 16, 8), (300, 4, 4, 2), (6, 4, 5, 2)])
-def test_conv_transpose_matches_torch(rng, Cin, Cout, k, s):
-    """Covers both formulations: Cin=300 + k%s==0 hits the matmul path."""
+@pytest.mark.parametrize("Cin,Cout,k,s,method", [
+    (6, 4, 16, 8, "dilated"), (6, 4, 16, 8, "matmul"),
+    (8, 4, 4, 2, "matmul"), (6, 4, 5, 2, "dilated"),
+])
+def test_conv_transpose_matches_torch(rng, Cin, Cout, k, s, method):
+    """Both formulations pinned against torch."""
     B, T = 1, 12
     p = (k - s) // 2
     x = rng.standard_normal((B, T, Cin)).astype(np.float32)
@@ -47,7 +50,8 @@ def test_conv_transpose_matches_torch(rng, Cin, Cout, k, s):
     with torch.no_grad():
         expected = conv(torch.tensor(x).transpose(1, 2)).transpose(1, 2).numpy()
     w = from_torch_layout("decoder.upsampler.0.weight", conv.weight.detach().numpy())
-    got = conv_transpose1d(x, w, conv.bias.detach().numpy(), stride=s, padding=p)
+    got = conv_transpose1d(x, w, conv.bias.detach().numpy(), stride=s, padding=p,
+                           method=method)
     assert got.shape == expected.shape
     np.testing.assert_allclose(np.asarray(got), expected, atol=1e-4)
 

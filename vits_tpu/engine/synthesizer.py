@@ -23,9 +23,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from typing import NamedTuple
+
 from vits_tpu.config import EngineConfig, VitsConfig
-from vits_tpu.models.vits import SynthesisOutput, synthesize as synthesize_fn
+from vits_tpu.models.vits import synthesize as synthesize_fn
 from vits_tpu.text.tokenizer import VitsTokenizer
+
+
+class EngineOutput(NamedTuple):
+    """Host-side synthesis result (numpy arrays, fetched in one transfer)."""
+
+    waveform: np.ndarray  # (B, capacity_samples) float32
+    lengths: np.ndarray  # (B,) valid samples (clamped to capacity)
+    frame_lengths: np.ndarray  # (B,) predicted frames, unclamped
+    log_duration: np.ndarray  # (B, T_in, 1)
 
 
 def _next_bucket(buckets: Sequence[int], value: int) -> int:
@@ -100,10 +111,14 @@ class Synthesizer:
 
         @functools.partial(jax.jit, static_argnames=("num_frames",))
         def run(params, input_ids, input_mask, rng, speaker_id, num_frames):
-            return synthesize_fn(
+            out = synthesize_fn(
                 params, config, input_ids, input_mask, num_frames,
                 rng=rng, speaker_id=speaker_id, use_pallas=use_pallas,
             )
+            # Return only what the host needs: shipping the latents (~1 MB)
+            # with every dispatch costs real transfer time for nothing (the
+            # streaming decoder has its own latents program).
+            return (out.waveform, out.lengths, out.frame_lengths, out.log_duration)
 
         return functools.partial(run, num_frames=num_frames)
 
@@ -142,10 +157,10 @@ class Synthesizer:
         out = self.synthesize_raw(
             texts, seed=seed, speaker_id=speaker_id, max_redispatch=max_redispatch
         )
-        waves = np.asarray(out.waveform, dtype=np.float32)
-        lengths = np.asarray(out.lengths)
+        waves = out.waveform.astype(np.float32, copy=False)
         results = [
-            waves[i, : lengths[i]] if trim else waves[i] for i in range(waves.shape[0])
+            waves[i, : out.lengths[i]] if trim else waves[i]
+            for i in range(waves.shape[0])
         ]
         return results[0] if single else results
 
@@ -157,8 +172,12 @@ class Synthesizer:
         speaker_id: Optional[int | Sequence[int]] = None,
         max_redispatch: int = 3,
         pad_to_batch: Optional[int] = None,
-    ) -> SynthesisOutput:
-        """Untrimmed batched output (device arrays) + per-row lengths."""
+    ) -> EngineOutput:
+        """Untrimmed batched output (host numpy) + per-row lengths.
+
+        All device outputs are fetched with ONE ``jax.device_get`` — every
+        separate blocking read is a full host<->device round-trip.
+        """
         if isinstance(texts, str):
             texts = [texts]
         encoded = [self.tokenizer.encode(t) for t in texts]
@@ -178,9 +197,9 @@ class Synthesizer:
 
         rng = jax.random.PRNGKey(seed)
         num_frames = self.engine.frame_bucket(t_bucket)
-        out = self._dispatch(ids, mask, num_frames, rng, spk)
+        out = EngineOutput(*jax.device_get(self._dispatch(ids, mask, num_frames, rng, spk)))
         for _ in range(max_redispatch):
-            predicted = int(np.max(np.asarray(out.frame_lengths)))
+            predicted = int(out.frame_lengths.max())
             if predicted <= num_frames:
                 break
             # Double until it fits: keeps the set of compiled shapes a small
@@ -188,10 +207,8 @@ class Synthesizer:
             while num_frames < predicted:
                 num_frames *= 2
             self.stats["redispatches"] += 1
-            out = self._dispatch(ids, mask, num_frames, rng, spk)
-        self.stats["audio_seconds"] += float(
-            np.sum(np.asarray(out.lengths))
-        ) / self.config.sampling_rate
+            out = EngineOutput(*jax.device_get(self._dispatch(ids, mask, num_frames, rng, spk)))
+        self.stats["audio_seconds"] += float(np.sum(out.lengths)) / self.config.sampling_rate
         return out
 
     # ------------------------------------------------------------------ #

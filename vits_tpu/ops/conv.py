@@ -75,6 +75,7 @@ def conv_transpose1d(
     *,
     stride: int,
     padding: int = 0,
+    method: str = "dilated",
 ) -> jax.Array:
     """torch ConvTranspose1d(stride, padding) — two XLA formulations.
 
@@ -82,15 +83,18 @@ def conv_transpose1d(
     (io/params.py: kernel[t, i, o] = W_torch[i, o, k-1-t]).  Output length is
     (T-1)*stride + k - 2*padding, matching torch.
 
-    When k is a multiple of the stride and the input is wide (the HiFiGAN
-    upsampler shapes), the transposed conv is computed as ONE dense matmul
-    (T, C_in) @ (C_in, k*C_out) followed by a cheap strided overlap-add —
-    profiled ~1.3x faster than XLA's input-dilated conv on the wide stages of
-    a v5e (scripts note in bench_conv_variants.py); otherwise falls back to
-    ``lax.conv_general_dilated`` with lhs_dilation.
+    An alternative dense-matmul + overlap-add formulation exists
+    (:func:`_conv_transpose_matmul`, requires k % stride == 0).  It wins its
+    *isolated* microbenchmark on wide inputs (~1.3x, scripts/
+    bench_conv_variants.py --transpose) but measurably LOSES inside the full
+    fused vocoder program (e2e bench dropped 115x -> 69x when auto-enabled —
+    the scatter-add materializes large buffers that XLA fuses poorly next to
+    the surrounding ops), so it is opt-in only via ``method="matmul"``.
     """
     k = kernel.shape[0]
-    if k % stride == 0 and x.shape[-1] >= 256:
+    if method == "matmul":
+        if k % stride != 0:
+            raise ValueError("matmul conv-transpose needs k % stride == 0")
         return _conv_transpose_matmul(x, kernel, bias, stride, padding)
     pad = k - 1 - padding
     out = lax.conv_general_dilated(
