@@ -15,7 +15,10 @@ VOCAB = {c: i for i, c in enumerate("kzyuvdheswm' ablc")}
 def model(tiny_bundle):
     config, params = tiny_bundle
     tok = VitsTokenizer(vocab=dict(VOCAB), pad_token="k", unk_token="z")
-    eng = EngineConfig(token_buckets=(64,), frames_per_token=4.0)
+    # transfer_int16=False: the sample-exactness invariant is between the
+    # streaming decode and the one-shot decode; the engine's int16 transfer
+    # quantization (<= 1/32767) is checked separately below.
+    eng = EngineConfig(token_buckets=(64,), frames_per_token=4.0, transfer_int16=False)
     return Synthesizer(config, tok, params, eng)
 
 
@@ -35,6 +38,20 @@ def test_stream_yields_multiple_chunks(model):
     assert len(chunks) >= 2
     up = model.config.total_upsample
     assert all(len(c) % up == 0 for c in chunks[:-1])
+
+
+def test_int16_transfer_quantization_bounded(tiny_bundle):
+    """Default engine mode ships int16 PCM; error must stay <= 1/32767."""
+    config, params = tiny_bundle
+    tok = VitsTokenizer(vocab=dict(VOCAB), pad_token="k", unk_token="z")
+    exact = Synthesizer(
+        config, tok, params, EngineConfig(token_buckets=(64,), transfer_int16=False)
+    ).synthesize("hello sad dame", seed=4)
+    quant = Synthesizer(
+        config, tok, params, EngineConfig(token_buckets=(64,), transfer_int16=True)
+    ).synthesize("hello sad dame", seed=4)
+    assert quant.shape == exact.shape
+    np.testing.assert_allclose(quant, exact, atol=1.0 / 32767 + 1e-7)
 
 
 def test_stream_small_margin_detectably_diverges(model):

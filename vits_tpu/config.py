@@ -187,6 +187,9 @@ class EngineConfig:
     # Route HiFiGAN resblocks through the fused Pallas kernel.
     # None = auto (enabled on TPU backends), True/False = force.
     use_pallas_vocoder: bool | None = None
+    # Transfer waveforms device->host as int16 PCM (the final WAV format;
+    # halves transfer bytes, quantization error 1/32767 ~ 3e-5).
+    transfer_int16: bool = True
 
     def frame_bucket(self, token_bucket: int) -> int:
         frames = int(token_bucket * self.frames_per_token)

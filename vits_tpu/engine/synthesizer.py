@@ -104,10 +104,12 @@ class Synthesizer:
     @functools.lru_cache(maxsize=None)  # noqa: B019 — engine owns its cache
     def _compiled(self, num_frames: int):
         config = self.config
+        self.stats["compiled_shapes"] += 1
 
         use_pallas = self.engine.use_pallas_vocoder
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
+        transfer_int16 = self.engine.transfer_int16
 
         @functools.partial(jax.jit, static_argnames=("num_frames",))
         def run(params, input_ids, input_mask, rng, speaker_id, num_frames):
@@ -115,10 +117,15 @@ class Synthesizer:
                 params, config, input_ids, input_mask, num_frames,
                 rng=rng, speaker_id=speaker_id, use_pallas=use_pallas,
             )
-            # Return only what the host needs: shipping the latents (~1 MB)
-            # with every dispatch costs real transfer time for nothing (the
-            # streaming decoder has its own latents program).
-            return (out.waveform, out.lengths, out.frame_lengths, out.log_duration)
+            # Return only what the host needs: no latents (the streaming
+            # decoder has its own latents program), and the waveform as int16
+            # PCM when configured — device->host bytes are wall time.
+            wave = out.waveform
+            if transfer_int16:
+                wave = jnp.round(
+                    jnp.clip(wave.astype(jnp.float32), -1.0, 1.0) * 32767.0
+                ).astype(jnp.int16)
+            return (wave, out.lengths, out.frame_lengths, out.log_duration)
 
         return functools.partial(run, num_frames=num_frames)
 
@@ -197,7 +204,15 @@ class Synthesizer:
 
         rng = jax.random.PRNGKey(seed)
         num_frames = self.engine.frame_bucket(t_bucket)
-        out = EngineOutput(*jax.device_get(self._dispatch(ids, mask, num_frames, rng, spk)))
+
+        def fetch(device_out):
+            host = jax.device_get(device_out)
+            wave = host[0]
+            if wave.dtype == np.int16:
+                wave = wave.astype(np.float32) / 32767.0
+            return EngineOutput(wave, *host[1:])
+
+        out = fetch(self._dispatch(ids, mask, num_frames, rng, spk))
         for _ in range(max_redispatch):
             predicted = int(out.frame_lengths.max())
             if predicted <= num_frames:
@@ -207,7 +222,7 @@ class Synthesizer:
             while num_frames < predicted:
                 num_frames *= 2
             self.stats["redispatches"] += 1
-            out = EngineOutput(*jax.device_get(self._dispatch(ids, mask, num_frames, rng, spk)))
+            out = fetch(self._dispatch(ids, mask, num_frames, rng, spk))
         self.stats["audio_seconds"] += float(np.sum(out.lengths)) / self.config.sampling_rate
         return out
 

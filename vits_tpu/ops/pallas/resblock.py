@@ -65,7 +65,7 @@ def _kernel(x_hbm, len_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, xwin, sem,
     dma.wait()
 
     k = kernel_size
-    valid_len = len_ref[0, 0]
+    valid_len = len_ref[b, 0]
     x = xwin[:]  # (window, C) — includes halo for ALL pairs
     cur_len = window
     offset = 0  # rows consumed off the window's left edge so far
@@ -166,7 +166,9 @@ def fused_resblock(
         grid=(n_tiles, B),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM; manual DMA
-            pl.BlockSpec((1, 1), lambda i, b: (b, 0), memory_space=pltpu.SMEM),
+            # whole (B, 1) lengths array in SMEM; indexed by program_id(1) —
+            # a per-row (1,1) block trips Mosaic's block-divisibility rules
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
