@@ -24,6 +24,10 @@ def main(argv=None) -> int:
     parser.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
     parser.add_argument("--bench", type=int, default=0, metavar="N",
                         help="after synthesis, time N repeat runs (bench_e2e.cpp behavior)")
+    parser.add_argument("--stream", action="store_true",
+                        help="chunked streaming decode (prints per-chunk TTFA)")
+    parser.add_argument("--long", action="store_true", dest="longform",
+                        help="split long text at sentences, batch, and stitch")
     args = parser.parse_args(argv)
 
     import vits_tpu
@@ -32,7 +36,26 @@ def main(argv=None) -> int:
 
     model = vits_tpu.load_model(args.model, EngineConfig(compute_dtype=args.dtype))
     t0 = time.perf_counter()
-    waves = model.synthesize(list(args.text), seed=args.seed, speaker_id=args.speaker_id)
+    if args.stream:
+        from vits_tpu.engine.streaming import StreamingDecoder
+
+        stream = StreamingDecoder(model)
+        chunks = []
+        for i, chunk in enumerate(stream.stream(args.text[0], seed=args.seed)):
+            if i == 0:
+                print(f"TTFA: {(time.perf_counter() - t0) * 1000:.1f} ms")
+            chunks.append(chunk)
+        import numpy as np
+
+        waves = [np.concatenate(chunks)]
+    elif args.longform:
+        from vits_tpu.engine.longform import synthesize_long
+
+        waves = [synthesize_long(model, " ".join(args.text), seed=args.seed,
+                                 speaker_id=args.speaker_id)]
+    else:
+        waves = model.synthesize(list(args.text), seed=args.seed,
+                                 speaker_id=args.speaker_id)
     t1 = time.perf_counter()
 
     rate = model.config.sampling_rate

@@ -38,7 +38,12 @@ def _read_u32(f: BinaryIO) -> int:
 
 def _read_str(f: BinaryIO) -> str:
     n = _read_u32(f)
-    return f.read(n).decode("utf-8")
+    if n > 1 << 20:
+        raise ValueError(f"implausible string length {n}: not a ggml checkpoint?")
+    try:
+        return f.read(n).decode("utf-8")
+    except UnicodeDecodeError as exc:
+        raise ValueError(f"invalid UTF-8 in checkpoint: not a ggml file? ({exc})") from exc
 
 
 def _write_u32(f: BinaryIO, v: int) -> None:
