@@ -66,13 +66,14 @@ def train(
     dataset = VitsDataset(corpus_dir, tokenizer, config)
     log(f"dataset: {len(dataset)} utterances")
 
+    from vits_tpu.train.schedule import ParamEMA, vits_optimizer
+
     n_dev = len(jax.devices())
     mesh = make_mesh(data=n_dev // model_parallel, model=model_parallel)
-    gen_opt = optax.chain(
-        optax.clip_by_global_norm(500.0),
-        optax.adamw(learning_rate, b1=0.8, b2=0.99),
-    )
-    disc_opt = optax.adamw(learning_rate, b1=0.8, b2=0.99)
+    steps_per_epoch = max(len(dataset) // batch_size, 1)
+    gen_opt = vits_optimizer(learning_rate, steps_per_epoch=steps_per_epoch)
+    disc_opt = vits_optimizer(learning_rate, steps_per_epoch=steps_per_epoch)
+    ema = ParamEMA()
 
     with mesh:
         gen_params = shard_params(gen_params, mesh, model_parallel > 1)
@@ -106,6 +107,7 @@ def train(
         else:
             step_fn = make_train_step(config, gen_opt, segment_frames=segment_frames)
 
+        ema_params = ema.init(gen_params)
         ds = data_sharding(mesh)
         dp = mesh.devices.shape[0]
         rng_np = np.random.default_rng(seed)
@@ -159,6 +161,8 @@ def train(
                     gen_params, gen_opt_state, batch, sub
                 )
 
+            ema_params = ema.update(ema_params, gen_params)
+
             if step_idx % log_every == 0:
                 metrics = jax.device_get(metrics)
                 rate = log_every / (time.perf_counter() - t0)
@@ -169,13 +173,20 @@ def train(
                 log(f"step {step_idx}: {fields} ({rate:.2f} it/s)")
 
             if step_idx % checkpoint_every == 0 or step_idx == steps:
-                save_checkpoint(
+                import os as _os
+
+                ckpt_dir = save_checkpoint(
                     out_dir, step_idx,
                     jax.device_get(gen_params),
                     jax.device_get(gen_opt_state),
                     jax.device_get(disc_params) if adversarial else None,
                     jax.device_get(disc_opt_state) if adversarial else None,
                     metadata={"batch_size": batch_size, "lr": learning_rate},
+                )
+                # EMA weights alongside (the preferred serving weights)
+                np.savez(
+                    _os.path.join(ckpt_dir, "gen_params_ema.npz"),
+                    **{k: np.asarray(v) for k, v in jax.device_get(ema_params).items()},
                 )
                 log(f"checkpointed step {step_idx}")
 
