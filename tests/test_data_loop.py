@@ -103,4 +103,5 @@ def test_train_loop_smoke(corpus, tmp_path, tiny_hf_model, monkeypatch):
         adversarial=False, segment_frames=8, log=logs2.append,
     )
     assert any("resumed from step 2" in l for l in logs2)
+    assert any("restored EMA weights" in l for l in logs2)
     assert any("step 3" in l for l in logs2)

@@ -68,6 +68,13 @@ def test_overflow_redispatch(tiny_bundle):
     assert capacity >= predicted  # escalation reached a fitting bucket
 
 
+def test_warmup_compiles_without_error(engine_model):
+    """warmup() drives _dispatch directly; regression: it crashed on the raw
+    output tuple after the single-device_get refactor (broke server startup)."""
+    engine_model.warmup(batch_sizes=(1,), token_buckets=(32,))
+    assert engine_model.stats["dispatches"] > 0
+
+
 def test_wav_roundtrip(tmp_path):
     rng = np.random.default_rng(0)
     audio = np.clip(rng.standard_normal(1000) * 0.3, -1, 1).astype(np.float32)

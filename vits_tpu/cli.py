@@ -37,17 +37,21 @@ def main(argv=None) -> int:
     model = vits_tpu.load_model(args.model, EngineConfig(compute_dtype=args.dtype))
     t0 = time.perf_counter()
     if args.stream:
+        import numpy as np
+
         from vits_tpu.engine.streaming import StreamingDecoder
 
         stream = StreamingDecoder(model)
-        chunks = []
-        for i, chunk in enumerate(stream.stream(args.text[0], seed=args.seed)):
-            if i == 0:
-                print(f"TTFA: {(time.perf_counter() - t0) * 1000:.1f} ms")
-            chunks.append(chunk)
-        import numpy as np
-
-        waves = [np.concatenate(chunks)]
+        waves = []
+        for text in args.text:
+            chunks = []
+            for i, chunk in enumerate(
+                stream.stream(text, seed=args.seed, speaker_id=args.speaker_id)
+            ):
+                if i == 0 and not waves:
+                    print(f"TTFA: {(time.perf_counter() - t0) * 1000:.1f} ms")
+                chunks.append(chunk)
+            waves.append(np.concatenate(chunks))
     elif args.longform:
         from vits_tpu.engine.longform import synthesize_long
 

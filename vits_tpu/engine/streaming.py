@@ -9,6 +9,12 @@ so emitted PCM is bit-identical to the one-shot decode (overlap-*discard*, not
 overlap-add: the vocoder is a pure feed-forward conv stack, so given enough
 context the interior is exact — verified in tests/test_streaming.py).
 
+Note on comparing against ``Synthesizer.synthesize``: streamed chunks are
+full-precision floats, while the engine ships its waveform as int16 PCM by
+default (``EngineConfig.transfer_int16``) — exact equality holds with
+``transfer_int16=False``; otherwise the difference is the <= 1/32767 transfer
+quantization.
+
 Margin: the vocoder's receptive field is ~16 latent frames for the MMS config
 (conv_pre ±3, plus the per-stage resblock dilation pyramids divided by the
 accumulated upsample rate); ``margin_frames=20`` is the safe default, checked

@@ -212,17 +212,22 @@ class Synthesizer:
                 wave = wave.astype(np.float32) / 32767.0
             return EngineOutput(wave, *host[1:])
 
-        out = fetch(self._dispatch(ids, mask, num_frames, rng, spk))
-        for _ in range(max_redispatch):
-            predicted = int(out.frame_lengths.max())
-            if predicted <= num_frames:
-                break
-            # Double until it fits: keeps the set of compiled shapes a small
-            # ladder instead of one program per utterance length.
-            while num_frames < predicted:
-                num_frames *= 2
-            self.stats["redispatches"] += 1
-            out = fetch(self._dispatch(ids, mask, num_frames, rng, spk))
+        # Common path: one dispatch, ONE full fetch.  On overflow, ladder
+        # attempts read only the tiny frame_lengths (not the big waveform the
+        # attempt is about to discard); the full fetch happens once at the end.
+        device_out = self._dispatch(ids, mask, num_frames, rng, spk)
+        out = fetch(device_out)
+        predicted = int(out.frame_lengths.max())
+        if predicted > num_frames:
+            for attempt in range(max_redispatch):
+                while num_frames < predicted:
+                    num_frames *= 2
+                self.stats["redispatches"] += 1
+                device_out = self._dispatch(ids, mask, num_frames, rng, spk)
+                predicted = int(jax.device_get(device_out[2]).max())
+                if predicted <= num_frames or attempt == max_redispatch - 1:
+                    out = fetch(device_out)
+                    break
         self.stats["audio_seconds"] += float(np.sum(out.lengths)) / self.config.sampling_rate
         return out
 
@@ -238,4 +243,4 @@ class Synthesizer:
                 out = self._dispatch(
                     ids, mask, self.engine.frame_bucket(tb), jax.random.PRNGKey(0), None
                 )
-                jax.block_until_ready(out.waveform)
+                jax.block_until_ready(out)

@@ -108,6 +108,19 @@ def train(
             step_fn = make_train_step(config, gen_opt, segment_frames=segment_frames)
 
         ema_params = ema.init(gen_params)
+        if start_step:
+            import os as _os
+
+            ema_path = _os.path.join(
+                out_dir, f"step_{start_step:08d}", "gen_params_ema.npz"
+            )
+            if _os.path.exists(ema_path):
+                with np.load(ema_path) as data:
+                    ema_params = {k: jnp.asarray(data[k]) for k in data.files}
+                log("restored EMA weights")
+        # jitted + donated: the eager tree_map dispatches hundreds of tiny
+        # host-side ops per step otherwise
+        ema_update = jax.jit(ema.update, donate_argnums=(0,))
         ds = data_sharding(mesh)
         dp = mesh.devices.shape[0]
         rng_np = np.random.default_rng(seed)
@@ -161,7 +174,7 @@ def train(
                     gen_params, gen_opt_state, batch, sub
                 )
 
-            ema_params = ema.update(ema_params, gen_params)
+            ema_params = ema_update(ema_params, gen_params)
 
             if step_idx % log_every == 0:
                 metrics = jax.device_get(metrics)
