@@ -88,3 +88,64 @@ def test_wav_roundtrip(tmp_path):
 def test_pcm16_clamps():
     out = pcm16(np.array([-2.0, 0.0, 2.0], np.float32))
     assert out.tolist() == [-32767, 0, 32767]
+
+
+# --------------------------------------------------------------------------- #
+# Per-call synthesis controls (traced, no recompile) and per-row seeds
+# --------------------------------------------------------------------------- #
+
+
+def test_speaking_rate_scales_predicted_frames(engine_model):
+    """speaking_rate=2 must roughly halve the predicted frame count
+    (reference honors this only from config, vits.cpp:977-979)."""
+    base = engine_model.synthesize_raw("hello sad dame", seed=0)
+    fast = engine_model.synthesize_raw("hello sad dame", seed=0, speaking_rate=2.0)
+    slow = engine_model.synthesize_raw("hello sad dame", seed=0, speaking_rate=0.5)
+    f0 = int(base.frame_lengths[0])
+    assert int(fast.frame_lengths[0]) < f0 < int(slow.frame_lengths[0])
+    # ceil() per token makes the ratio inexact; bound it loosely
+    assert 0.3 <= int(fast.frame_lengths[0]) / f0 <= 0.7
+
+
+def test_controls_do_not_recompile(engine_model):
+    """Control overrides are traced scalars — same compiled program."""
+    engine_model.synthesize("hello sad dame", seed=0)
+    shapes = engine_model.stats["compiled_shapes"]
+    engine_model.synthesize(
+        "hello sad dame", seed=0,
+        noise_scale=0.21, noise_scale_duration=0.43, speaking_rate=1.17,
+    )
+    assert engine_model.stats["compiled_shapes"] == shapes
+
+
+def test_zero_noise_scales_are_seed_invariant(engine_model):
+    """With both noise scales at 0 the pipeline is deterministic, so
+    different seeds must give identical audio (proves the knobs reach the
+    sampling sites, not just the signature)."""
+    a = engine_model.synthesize(
+        "hello sad dame", seed=1, noise_scale=0.0, noise_scale_duration=0.0
+    )
+    b = engine_model.synthesize(
+        "hello sad dame", seed=2, noise_scale=0.0, noise_scale_duration=0.0
+    )
+    np.testing.assert_array_equal(a, b)
+
+
+def test_per_row_seeds_in_one_batch(engine_model):
+    """A list of seeds gives per-row noise streams inside ONE dispatch:
+    equal seeds -> identical rows, different seeds -> different rows."""
+    dispatches_before = engine_model.stats["dispatches"]
+    redispatches_before = engine_model.stats["redispatches"]
+    waves = engine_model.synthesize(
+        ["hello", "hello", "hello"], seed=[5, 5, 9]
+    )
+    extra = engine_model.stats["redispatches"] - redispatches_before
+    assert engine_model.stats["dispatches"] == dispatches_before + 1 + extra
+    np.testing.assert_array_equal(waves[0], waves[1])
+    assert not np.array_equal(waves[0], waves[2])
+
+
+def test_per_row_seed_list_deterministic(engine_model):
+    a = engine_model.synthesize(["hello sad dame"], seed=[11])[0]
+    b = engine_model.synthesize(["hello sad dame"], seed=[11])[0]
+    np.testing.assert_array_equal(a, b)

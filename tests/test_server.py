@@ -88,3 +88,75 @@ def test_unknown_route_404(running_server):
     with pytest.raises(urllib.error.HTTPError) as err:
         urllib.request.urlopen(url + "/bogus", timeout=30)
     assert err.value.code == 404
+
+
+def test_mixed_seed_requests_share_batch(running_server):
+    """Per-request seeds fold into per-row keys — different seeds must NOT
+    split the micro-batch (round-1 behavior: one dispatch per distinct seed)."""
+    url, worker = running_server
+    before = worker.stats["batches"]
+    results = {}
+
+    def hit(i):
+        with _post(url, {"text": "hello dame", "seed": i * 13 + 1}) as resp:
+            results[i] = resp.read()
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(5)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert len(results) == 5
+    # different seeds -> different audio bytes
+    assert len({r for r in results.values()}) > 1
+    assert worker.stats["batches"] - before <= 2  # not 5 seed-solo batches
+
+
+def test_speaking_rate_field_shortens_audio(running_server):
+    url, _ = running_server
+    with _post(url, {"text": "hello dame sad welsh", "seed": 0}) as resp:
+        normal = resp.read()
+    with _post(url, {"text": "hello dame sad welsh", "seed": 0,
+                     "speaking_rate": 2.0}) as resp:
+        fast = resp.read()
+    assert len(fast) < len(normal)
+
+
+def test_bad_control_type_400(running_server):
+    url, _ = running_server
+    try:
+        _post(url, {"text": "hello", "speaking_rate": "not-a-number"})
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as err:
+        assert err.code == 400
+
+
+def test_queue_full_returns_429_and_worker_rejects():
+    """Bounded queue: submissions beyond max_queue are rejected (429 path)."""
+    import time
+    import types
+
+    from vits_tpu.engine.server import BatchingWorker, _Request
+
+    class SlowModel:
+        def __init__(self):
+            self.release = threading.Event()
+            self.config = types.SimpleNamespace(sampling_rate=16000)
+
+        def synthesize(self, texts, **kw):
+            self.release.wait(20)
+            return [np.zeros(16, np.float32) for _ in texts]
+
+    model = SlowModel()
+    worker = BatchingWorker(model, batch_window_ms=1.0, max_batch=1, max_queue=2)
+    reqs = [_Request(text="a", speaker_id=None, seed=0) for _ in range(4)]
+    assert worker.submit(reqs[0])
+    time.sleep(0.5)  # worker thread picks req0 and blocks inside synthesize
+    assert worker.submit(reqs[1])
+    assert worker.submit(reqs[2])
+    assert not worker.submit(reqs[3])  # queue (capacity 2) is full
+    assert worker.stats["rejected"] == 1
+    model.release.set()
+    for r in reqs[:3]:
+        assert r.done.wait(30)
+    worker.stop()

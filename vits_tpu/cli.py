@@ -21,6 +21,12 @@ def main(argv=None) -> int:
     parser.add_argument("--out", default="output.wav", help="output WAV path (or prefix for batches)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--speaker-id", type=int, default=None)
+    parser.add_argument("--noise-scale", type=float, default=None,
+                        help="prior noise scale (default: checkpoint config)")
+    parser.add_argument("--noise-scale-duration", type=float, default=None,
+                        help="duration-predictor noise scale")
+    parser.add_argument("--speaking-rate", type=float, default=None,
+                        help=">1 = faster speech, <1 = slower")
     parser.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
     parser.add_argument("--bench", type=int, default=0, metavar="N",
                         help="after synthesis, time N repeat runs (bench_e2e.cpp behavior)")
@@ -35,6 +41,11 @@ def main(argv=None) -> int:
     from vits_tpu.utils.wav import write_wav
 
     model = vits_tpu.load_model(args.model, EngineConfig(compute_dtype=args.dtype))
+    controls = dict(
+        noise_scale=args.noise_scale,
+        noise_scale_duration=args.noise_scale_duration,
+        speaking_rate=args.speaking_rate,
+    )
     t0 = time.perf_counter()
     if args.stream:
         import numpy as np
@@ -46,7 +57,8 @@ def main(argv=None) -> int:
         for text in args.text:
             chunks = []
             for i, chunk in enumerate(
-                stream.stream(text, seed=args.seed, speaker_id=args.speaker_id)
+                stream.stream(text, seed=args.seed, speaker_id=args.speaker_id,
+                              **controls)
             ):
                 if i == 0 and not waves:
                     print(f"TTFA: {(time.perf_counter() - t0) * 1000:.1f} ms")
@@ -56,10 +68,10 @@ def main(argv=None) -> int:
         from vits_tpu.engine.longform import synthesize_long
 
         waves = [synthesize_long(model, " ".join(args.text), seed=args.seed,
-                                 speaker_id=args.speaker_id)]
+                                 speaker_id=args.speaker_id, **controls)]
     else:
         waves = model.synthesize(list(args.text), seed=args.seed,
-                                 speaker_id=args.speaker_id)
+                                 speaker_id=args.speaker_id, **controls)
     t1 = time.perf_counter()
 
     rate = model.config.sampling_rate
@@ -83,7 +95,8 @@ def main(argv=None) -> int:
         times = []
         for _ in range(args.bench):
             t0 = time.perf_counter()
-            model.synthesize(list(args.text), seed=args.seed, speaker_id=args.speaker_id)
+            model.synthesize(list(args.text), seed=args.seed,
+                             speaker_id=args.speaker_id, **controls)
             times.append(time.perf_counter() - t0)
         avg = sum(times) / len(times)
         print(f"Average time: {avg * 1000:.2f} ms over {args.bench} runs "

@@ -46,12 +46,18 @@ def synthesize_long(
     speaker_id: Optional[int] = None,
     gap_ms: float = 120.0,
     max_chars: int = 300,
+    noise_scale: Optional[float] = None,
+    noise_scale_duration: Optional[float] = None,
+    speaking_rate: Optional[float] = None,
 ) -> np.ndarray:
     """Paragraph/document -> one concatenated waveform."""
     sentences = split_sentences(text, max_chars=max_chars)
     if not sentences:
         return np.zeros(0, np.float32)
-    waves = model.synthesize(sentences, seed=seed, speaker_id=speaker_id)
+    waves = model.synthesize(
+        sentences, seed=seed, speaker_id=speaker_id, noise_scale=noise_scale,
+        noise_scale_duration=noise_scale_duration, speaking_rate=speaking_rate,
+    )
     if isinstance(waves, np.ndarray):
         waves = [waves]
     gap = np.zeros(int(model.config.sampling_rate * gap_ms / 1000.0), np.float32)

@@ -8,8 +8,13 @@ arriving within ``batch_window_ms`` of each other (up to ``max_batch``) ride a
 single jitted program; each caller gets back its own trimmed WAV.
 
 Endpoints:
-    POST /synthesize   {"text": "...", "speaker_id": 0?, "seed": 0?} -> audio/wav
+    POST /synthesize   {"text": "...", "speaker_id": 0?, "seed": 0?,
+                        "noise_scale": f?, "noise_scale_duration": f?,
+                        "speaking_rate": f?} -> audio/wav
     GET  /healthz      -> {"status": "ok", ...}
+
+Per-request seeds fold into per-row PRNG keys, so mixed-seed traffic shares
+one dispatch; the queue is bounded (429 on overflow).
 
 stdlib-only (http.server + threads); start with ``serve(model, port)`` or
 ``python -m vits_tpu.engine.server --model m.ggml --port 8080``.
@@ -36,36 +41,57 @@ class _Request:
     text: str
     speaker_id: Optional[int]
     seed: int
+    noise_scale: Optional[float] = None
+    noise_scale_duration: Optional[float] = None
+    speaking_rate: Optional[float] = None
     done: threading.Event = field(default_factory=threading.Event)
     audio: Optional[np.ndarray] = None
     error: Optional[str] = None
+
+    def batch_key(self):
+        """Requests may share one dispatch iff the batch-wide traced controls
+        match; seeds are per-ROW (folded into row PRNG keys) so they never
+        split a batch."""
+        return (self.noise_scale, self.noise_scale_duration, self.speaking_rate)
 
 
 class BatchingWorker:
     """Collects requests into padded batches and runs one dispatch per batch."""
 
-    def __init__(self, model, batch_window_ms: float = 5.0, max_batch: int = 16):
+    def __init__(
+        self,
+        model,
+        batch_window_ms: float = 5.0,
+        max_batch: int = 16,
+        max_queue: int = 256,
+    ):
         self.model = model
         self.window = batch_window_ms / 1000.0
         self.max_batch = max_batch
-        self.queue: "queue.Queue[_Request]" = queue.Queue()
-        self.stats = {"requests": 0, "batches": 0, "audio_seconds": 0.0}
+        self.queue: "queue.Queue[_Request]" = queue.Queue(maxsize=max_queue)
+        self.stats = {"requests": 0, "batches": 0, "rejected": 0, "audio_seconds": 0.0}
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def submit(self, req: _Request) -> None:
-        self.queue.put(req)
+    def submit(self, req: _Request) -> bool:
+        """Enqueue; False = queue full (caller should return 429)."""
+        try:
+            self.queue.put_nowait(req)
+            return True
+        except queue.Full:
+            self.stats["rejected"] += 1
+            return False
 
     def stop(self) -> None:
         self._stop.set()
 
     def _collect(self) -> list[_Request]:
-        """Collect a batch of requests sharing one seed.
+        """Collect a batch of requests sharing one set of control knobs.
 
-        A dispatch draws noise from ONE key, so only same-seed requests may
-        share a batch (each row still gets independent noise from that key);
-        other-seed requests are re-queued for the next batch.
+        Per-request seeds ride as per-row PRNG keys inside one dispatch;
+        only differing *control* values (traced batch-wide scalars) force a
+        request into the next batch.
         """
         try:
             first = self.queue.get(timeout=0.1)
@@ -82,7 +108,7 @@ class BatchingWorker:
                 req = self.queue.get(timeout=remaining)
             except queue.Empty:
                 break
-            if req.seed == first.seed:
+            if req.batch_key() == first.batch_key():
                 batch.append(req)
             else:
                 requeue.append(req)
@@ -101,7 +127,15 @@ class BatchingWorker:
                 speaker = None
                 if any(r.speaker_id is not None for r in batch):
                     speaker = [r.speaker_id or 0 for r in batch]
-                waves = self.model.synthesize(texts, seed=batch[0].seed, speaker_id=speaker)
+                first = batch[0]
+                waves = self.model.synthesize(
+                    texts,
+                    seed=[r.seed for r in batch],
+                    speaker_id=speaker,
+                    noise_scale=first.noise_scale,
+                    noise_scale_duration=first.noise_scale_duration,
+                    speaking_rate=first.speaking_rate,
+                )
                 if isinstance(waves, np.ndarray):
                     waves = [waves]
                 rate = self.model.config.sampling_rate
@@ -117,7 +151,7 @@ class BatchingWorker:
                     req.done.set()
 
 
-def make_handler(worker: BatchingWorker, model):
+def make_handler(worker: BatchingWorker, model, request_timeout_s: float = 120.0):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet
             pass
@@ -147,16 +181,25 @@ def make_handler(worker: BatchingWorker, model):
                 if not text or not isinstance(text, str):
                     self._json(400, {"error": "missing 'text'"})
                     return
+                def _opt_float(key):
+                    val = payload.get(key)
+                    return None if val is None else float(val)
+
                 req = _Request(
                     text=text,
                     speaker_id=payload.get("speaker_id"),
                     seed=int(payload.get("seed", 0)),
+                    noise_scale=_opt_float("noise_scale"),
+                    noise_scale_duration=_opt_float("noise_scale_duration"),
+                    speaking_rate=_opt_float("speaking_rate"),
                 )
-            except (ValueError, json.JSONDecodeError) as exc:
+            except (ValueError, TypeError, json.JSONDecodeError) as exc:
                 self._json(400, {"error": f"bad request: {exc}"})
                 return
-            worker.submit(req)
-            req.done.wait(timeout=120)
+            if not worker.submit(req):
+                self._json(429, {"error": "queue full, retry later"})
+                return
+            req.done.wait(timeout=request_timeout_s)
             if req.error is not None:
                 self._json(500, {"error": req.error})
                 return
@@ -176,10 +219,13 @@ def make_handler(worker: BatchingWorker, model):
 
 
 def serve(model, port: int = 8080, host: str = "127.0.0.1",
-          batch_window_ms: float = 5.0, max_batch: int = 16):
+          batch_window_ms: float = 5.0, max_batch: int = 16,
+          max_queue: int = 256, request_timeout_s: float = 120.0):
     """Blocking serve loop. Returns (server, worker) if you thread it yourself."""
-    worker = BatchingWorker(model, batch_window_ms, max_batch)
-    server = ThreadingHTTPServer((host, port), make_handler(worker, model))
+    worker = BatchingWorker(model, batch_window_ms, max_batch, max_queue)
+    server = ThreadingHTTPServer(
+        (host, port), make_handler(worker, model, request_timeout_s)
+    )
     return server, worker
 
 
@@ -192,6 +238,8 @@ def main(argv=None) -> int:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--batch-window-ms", type=float, default=5.0)
     ap.add_argument("--max-batch", type=int, default=16)
+    ap.add_argument("--max-queue", type=int, default=256)
+    ap.add_argument("--request-timeout-s", type=float, default=120.0)
     args = ap.parse_args(argv)
 
     import vits_tpu
@@ -199,7 +247,8 @@ def main(argv=None) -> int:
     model = vits_tpu.load_model(args.model)
     model.warmup(batch_sizes=(1,), token_buckets=model.engine.token_buckets[:2])
     server, worker = serve(
-        model, args.port, args.host, args.batch_window_ms, args.max_batch
+        model, args.port, args.host, args.batch_window_ms, args.max_batch,
+        args.max_queue, args.request_timeout_s,
     )
     print(f"vits_tpu serving on http://{args.host}:{args.port}")
     try:

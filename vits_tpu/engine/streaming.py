@@ -62,10 +62,14 @@ class StreamingDecoder:
             config = self.synth.config
 
             @jax.jit
-            def run(params, ids, mask, rng, speaker_id):
+            def run(params, ids, mask, rng, speaker_id, controls):
+                noise_scale, noise_scale_duration, speaking_rate = controls
                 return text_to_latents(
                     params, config, ids, mask, num_frames,
                     rng=rng, speaker_id=speaker_id,
+                    noise_scale=noise_scale,
+                    noise_scale_duration=noise_scale_duration,
+                    speaking_rate=speaking_rate,
                 )
 
             self._latents_fn_cache[num_frames] = run
@@ -94,7 +98,10 @@ class StreamingDecoder:
 
     # ------------------------------------------------------------------ #
     def stream(
-        self, text: str, seed: int = 0, speaker_id: int | None = None
+        self, text: str, seed: int = 0, speaker_id: int | None = None,
+        noise_scale: float | None = None,
+        noise_scale_duration: float | None = None,
+        speaking_rate: float | None = None,
     ) -> Iterator[np.ndarray]:
         """Yield float32 PCM chunks; concatenation == one-shot synthesis."""
         synth = self.synth
@@ -108,8 +115,9 @@ class StreamingDecoder:
         spk = None if speaker_id is None else np.asarray([speaker_id], np.int32)
 
         rng = jax.random.PRNGKey(seed)
+        controls = synth._controls(noise_scale, noise_scale_duration, speaking_rate)
         lat = self._latents_fn(num_frames)(
-            synth.params, jnp.asarray(ids), jnp.asarray(mask), rng, spk
+            synth.params, jnp.asarray(ids), jnp.asarray(mask), rng, spk, controls
         )
         # Escalate capacity (doubling ladder, like Synthesizer.synthesize_raw)
         # if the predicted length overflowed the frame bucket.
@@ -120,7 +128,7 @@ class StreamingDecoder:
             while num_frames < predicted:
                 num_frames *= 2
             lat = self._latents_fn(num_frames)(
-                synth.params, jnp.asarray(ids), jnp.asarray(mask), rng, spk
+                synth.params, jnp.asarray(ids), jnp.asarray(mask), rng, spk, controls
             )
         valid_frames = int(np.minimum(np.asarray(lat.total_duration)[0], num_frames))
         latents = lat.latents
@@ -151,7 +159,9 @@ class StreamingDecoder:
             start += chunk
 
     def synthesize_streaming(
-        self, text: str, seed: int = 0, speaker_id: int | None = None
+        self, text: str, seed: int = 0, speaker_id: int | None = None, **controls
     ) -> np.ndarray:
         """Convenience: concatenate all streamed chunks."""
-        return np.concatenate(list(self.stream(text, seed=seed, speaker_id=speaker_id)))
+        return np.concatenate(
+            list(self.stream(text, seed=seed, speaker_id=speaker_id, **controls))
+        )

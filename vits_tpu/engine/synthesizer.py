@@ -73,6 +73,10 @@ class Synthesizer:
         self.params = {k: _place(v) for k, v in params.items()}
         # Observability counters (the reference's verbose/log machinery,
         # vits.cpp:1234-1239, reimagined as structured stats).
+        # compiled_shapes counts DISTINCT dispatch signatures (batch, tokens,
+        # frames, rng layout) — jax compiles one program per such signature,
+        # not one per frame bucket.
+        self._dispatch_shapes: set = set()
         self.stats = {
             "dispatches": 0,
             "redispatches": 0,
@@ -104,7 +108,6 @@ class Synthesizer:
     @functools.lru_cache(maxsize=None)  # noqa: B019 — engine owns its cache
     def _compiled(self, num_frames: int):
         config = self.config
-        self.stats["compiled_shapes"] += 1
 
         use_pallas = self.engine.use_pallas_vocoder
         if use_pallas is None:
@@ -112,10 +115,17 @@ class Synthesizer:
         transfer_int16 = self.engine.transfer_int16
 
         @functools.partial(jax.jit, static_argnames=("num_frames",))
-        def run(params, input_ids, input_mask, rng, speaker_id, num_frames):
+        def run(params, input_ids, input_mask, rng, speaker_id, controls, num_frames):
+            # controls = (noise_scale, noise_scale_duration, speaking_rate),
+            # traced float32 scalars: per-call overrides never recompile
+            # (the reference can only honor config values, vits.cpp:977-979).
+            noise_scale, noise_scale_duration, speaking_rate = controls
             out = synthesize_fn(
                 params, config, input_ids, input_mask, num_frames,
                 rng=rng, speaker_id=speaker_id, use_pallas=use_pallas,
+                noise_scale=noise_scale,
+                noise_scale_duration=noise_scale_duration,
+                speaking_rate=speaking_rate,
             )
             # Return only what the host needs: no latents (the streaming
             # decoder has its own latents program), and the waveform as int16
@@ -129,18 +139,41 @@ class Synthesizer:
 
         return functools.partial(run, num_frames=num_frames)
 
-    def _dispatch(self, ids: np.ndarray, mask: np.ndarray, num_frames: int, rng, speaker_id):
+    def _controls(self, noise_scale, noise_scale_duration, speaking_rate):
+        """Per-call control overrides as traced float32 scalars."""
+        cfg = self.config
+        return (
+            jnp.float32(cfg.noise_scale if noise_scale is None else noise_scale),
+            jnp.float32(
+                cfg.noise_scale_duration
+                if noise_scale_duration is None
+                else noise_scale_duration
+            ),
+            jnp.float32(cfg.speaking_rate if speaking_rate is None else speaking_rate),
+        )
+
+    def _dispatch(
+        self, ids: np.ndarray, mask: np.ndarray, num_frames: int, rng, speaker_id,
+        controls=None,
+    ):
         import time
 
         t0 = time.perf_counter()
         fn = self._compiled(num_frames)
+        if controls is None:
+            controls = self._controls(None, None, None)
         out = fn(
             self.params,
             jnp.asarray(ids),
             jnp.asarray(mask, dtype=self.compute_dtype),
             rng,
             speaker_id,
+            controls,
         )
+        self._dispatch_shapes.add(
+            (ids.shape[0], ids.shape[1], num_frames, np.shape(rng), speaker_id is not None)
+        )
+        self.stats["compiled_shapes"] = len(self._dispatch_shapes)
         self.stats["dispatches"] += 1
         self.stats["wall_seconds"] += time.perf_counter() - t0
         return out
@@ -150,19 +183,28 @@ class Synthesizer:
         self,
         texts: str | Sequence[str],
         *,
-        seed: int = 0,
+        seed: int | Sequence[int] = 0,
         speaker_id: Optional[int | Sequence[int]] = None,
         trim: bool = True,
         max_redispatch: int = 3,
+        noise_scale: Optional[float] = None,
+        noise_scale_duration: Optional[float] = None,
+        speaking_rate: Optional[float] = None,
     ):
         """Text(s) -> float32 PCM at ``config.sampling_rate``.
 
         A single string returns one 1-D array; a list returns a list of arrays
         (trimmed to each utterance's predicted length unless ``trim=False``).
+        ``seed`` may be one int (whole-batch noise stream, HF-style) or one int
+        per text (independent per-row streams; rows with equal seeds get equal
+        noise).  The three control knobs default to the checkpoint config and
+        are traced — overriding them does not recompile.
         """
         single = isinstance(texts, str)
         out = self.synthesize_raw(
-            texts, seed=seed, speaker_id=speaker_id, max_redispatch=max_redispatch
+            texts, seed=seed, speaker_id=speaker_id, max_redispatch=max_redispatch,
+            noise_scale=noise_scale, noise_scale_duration=noise_scale_duration,
+            speaking_rate=speaking_rate,
         )
         waves = out.waveform.astype(np.float32, copy=False)
         results = [
@@ -175,10 +217,13 @@ class Synthesizer:
         self,
         texts: str | Sequence[str],
         *,
-        seed: int = 0,
+        seed: int | Sequence[int] = 0,
         speaker_id: Optional[int | Sequence[int]] = None,
         max_redispatch: int = 3,
         pad_to_batch: Optional[int] = None,
+        noise_scale: Optional[float] = None,
+        noise_scale_duration: Optional[float] = None,
+        speaking_rate: Optional[float] = None,
     ) -> EngineOutput:
         """Untrimmed batched output (host numpy) + per-row lengths.
 
@@ -202,7 +247,16 @@ class Synthesizer:
                 np.asarray(speaker_id, dtype=np.int32), (ids.shape[0],)
             ).copy()
 
-        rng = jax.random.PRNGKey(seed)
+        if isinstance(seed, (int, np.integer)):
+            rng = jax.random.PRNGKey(int(seed))
+        else:
+            # Per-row seeds folded into row keys: rows with different seeds
+            # still share ONE dispatch (the server's mixed-seed batching).
+            seeds = np.zeros((ids.shape[0],), np.int64)
+            seeds[: len(seed)] = np.asarray(seed, np.int64)
+            base = jax.random.PRNGKey(0)
+            rng = jax.vmap(lambda s: jax.random.fold_in(base, s))(jnp.asarray(seeds))
+        controls = self._controls(noise_scale, noise_scale_duration, speaking_rate)
         num_frames = self.engine.frame_bucket(t_bucket)
 
         def fetch(device_out):
@@ -215,7 +269,7 @@ class Synthesizer:
         # Common path: one dispatch, ONE full fetch.  On overflow, ladder
         # attempts read only the tiny frame_lengths (not the big waveform the
         # attempt is about to discard); the full fetch happens once at the end.
-        device_out = self._dispatch(ids, mask, num_frames, rng, spk)
+        device_out = self._dispatch(ids, mask, num_frames, rng, spk, controls)
         out = fetch(device_out)
         predicted = int(out.frame_lengths.max())
         if predicted > num_frames:
@@ -223,7 +277,7 @@ class Synthesizer:
                 while num_frames < predicted:
                     num_frames *= 2
                 self.stats["redispatches"] += 1
-                device_out = self._dispatch(ids, mask, num_frames, rng, spk)
+                device_out = self._dispatch(ids, mask, num_frames, rng, spk, controls)
                 predicted = int(jax.device_get(device_out[2]).max())
                 if predicted <= num_frames or attempt == max_redispatch - 1:
                     out = fetch(device_out)

@@ -93,10 +93,19 @@ def text_to_latents(
     rng: Optional[jax.Array] = None,
     noise: Optional[NoiseOverride] = None,
     speaker_id: Optional[jax.Array] = None,
-    noise_scale: Optional[float] = None,
-    noise_scale_duration: Optional[float] = None,
-    speaking_rate: Optional[float] = None,
+    noise_scale: Optional[float | jax.Array] = None,
+    noise_scale_duration: Optional[float | jax.Array] = None,
+    speaking_rate: Optional[float | jax.Array] = None,
 ) -> LatentsOutput:
+    """Text -> flow latents.
+
+    ``noise_scale``/``noise_scale_duration``/``speaking_rate`` may be Python
+    floats (baked into the program) or traced scalar arrays — the engine
+    passes them traced so per-call control changes do NOT recompile.
+    ``rng`` is either one PRNG key (one draw for the whole batch, as HF does)
+    or a per-row key array of shape (B, 2) — the engine folds per-request
+    seeds into row keys so mixed-seed traffic shares a single dispatch.
+    """
     p = ParamView(params)
     noise_scale = config.noise_scale if noise_scale is None else noise_scale
     noise_scale_duration = (
@@ -110,12 +119,26 @@ def text_to_latents(
     if noise is None:
         if rng is None:
             raise ValueError("provide either rng key or NoiseOverride")
-        k_dur, k_prior = jax.random.split(rng)
         dtype = input_mask.dtype
-        noise = NoiseOverride(
-            duration=jax.random.normal(k_dur, (batch, t_in, 2), dtype),
-            prior=jax.random.normal(k_prior, (batch, num_frames, config.flow_size), dtype),
-        )
+        if rng.ndim == 2:  # (B, 2) per-row keys
+
+            def _draw(k):
+                kd, kp = jax.random.split(k)
+                return (
+                    jax.random.normal(kd, (t_in, 2), dtype),
+                    jax.random.normal(kp, (num_frames, config.flow_size), dtype),
+                )
+
+            dur_noise, prior_noise = jax.vmap(_draw)(rng)
+            noise = NoiseOverride(duration=dur_noise, prior=prior_noise)
+        else:
+            k_dur, k_prior = jax.random.split(rng)
+            noise = NoiseOverride(
+                duration=jax.random.normal(k_dur, (batch, t_in, 2), dtype),
+                prior=jax.random.normal(
+                    k_prior, (batch, num_frames, config.flow_size), dtype
+                ),
+            )
 
     speaker_embeddings = None
     if config.num_speakers > 1 and speaker_id is not None:
