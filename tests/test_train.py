@@ -110,3 +110,33 @@ def test_loss_decreases_over_steps(tiny_bundle):
         params, opt_state, metrics = step(params, opt_state, batch, key)
         losses.append(float(metrics.loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_train_step_on_slice_mesh(tiny_bundle):
+    """('slice','data','model') mesh: batch shards over (slice, data); the
+    same step program compiles and the loss matches the flat-mesh run."""
+    config, params = tiny_bundle
+    rng = np.random.default_rng(5)
+    batch = _random_batch(config, rng, B=4)
+    opt = optax.adamw(2e-4)
+
+    from vits_tpu.parallel.mesh import SLICE_AXIS
+
+    mesh_flat = make_mesh(data=4, model=2)
+    mesh_slice = make_mesh(slices=2, data=2, model=2)
+    assert mesh_slice.axis_names == (SLICE_AXIS, DATA_AXIS, "model")
+
+    losses = []
+    for mesh in (mesh_flat, mesh_slice):
+        with mesh:
+            p = shard_params(params, mesh, model_parallel=True)
+            opt_state = opt.init(p)
+            step = make_train_step(config, opt, segment_frames=8,
+                                   mel_kwargs=MEL_KWARGS, donate=False)
+            ds = data_sharding(mesh)
+            sharded = TrainBatch(*[
+                None if x is None else jax.device_put(x, ds) for x in batch
+            ])
+            _, _, metrics = step(p, opt_state, sharded, jax.random.PRNGKey(2))
+            losses.append(float(metrics.loss))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)

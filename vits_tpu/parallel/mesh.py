@@ -8,6 +8,9 @@ XLA inserts the collectives (all-gather / reduce-scatter / psum over ICI);
 nothing here speaks NCCL/MPI.
 
 Axes:
+  * ``slice`` — (optional) multi-slice deployments: collectives crossing this
+    axis ride DCN, everything inside a slice rides ICI.  Batch shards over
+    ('slice', 'data') together so gradient psums are hierarchical.
   * ``data``  — batch-parallel synthesis/training (the common scale-out axis).
   * ``model`` — tensor-parallel sharding of the wide channel dimensions
     (encoder FFN, attention heads, WaveNet gates, HiFiGAN channels).
@@ -24,20 +27,31 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SLICE_AXIS = "slice"
 
 
 def make_mesh(
     data: Optional[int] = None,
     model: int = 1,
     devices: Optional[list] = None,
+    slices: int = 1,
 ) -> Mesh:
-    """Build a ('data', 'model') mesh over the available devices."""
+    """Build a ('data', 'model') mesh — or ('slice', 'data', 'model') when
+    ``slices > 1`` — over the available devices.
+
+    ``jax.devices()`` orders devices slice-major on multi-slice TPU, so the
+    leading reshape dim maps the slice axis onto DCN boundaries and the inner
+    axes stay within a slice (ICI).
+    """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data is None:
-        data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
+        data = n // (model * slices)
+    if data * model * slices != n:
+        raise ValueError(f"mesh {slices}x{data}x{model} != {n} devices")
+    if slices > 1:
+        arr = np.asarray(devices).reshape(slices, data, model)
+        return Mesh(arr, (SLICE_AXIS, DATA_AXIS, MODEL_AXIS))
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
@@ -104,7 +118,10 @@ def shard_params(params: Mapping, mesh: Mesh, model_parallel: bool = True) -> di
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch-sharded activation sharding (leading dim over 'data')."""
+    """Batch-sharded activation sharding (leading dim over 'data', plus
+    'slice' when the mesh has one — batch divides across slices too)."""
+    if SLICE_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P((SLICE_AXIS, DATA_AXIS)))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 

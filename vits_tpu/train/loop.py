@@ -38,6 +38,7 @@ def train(
 
     from vits_tpu.io import loader
     from vits_tpu.models.discriminator import init_discriminator_params
+    from vits_tpu.parallel.distributed import is_primary
     from vits_tpu.parallel.mesh import data_sharding, make_mesh, shard_params
     from vits_tpu.train.checkpoint import (
         latest_step,
@@ -176,7 +177,7 @@ def train(
 
             ema_params = ema_update(ema_params, gen_params)
 
-            if step_idx % log_every == 0:
+            if step_idx % log_every == 0 and is_primary():
                 metrics = jax.device_get(metrics)
                 rate = log_every / (time.perf_counter() - t0)
                 t0 = time.perf_counter()
@@ -185,7 +186,9 @@ def train(
                 )
                 log(f"step {step_idx}: {fields} ({rate:.2f} it/s)")
 
-            if step_idx % checkpoint_every == 0 or step_idx == steps:
+            if (step_idx % checkpoint_every == 0 or step_idx == steps) and is_primary():
+                # Single-writer: only process 0 touches the checkpoint dir —
+                # concurrent writers from other hosts would corrupt it.
                 import os as _os
 
                 ckpt_dir = save_checkpoint(
