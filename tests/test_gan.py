@@ -91,3 +91,39 @@ def test_gan_train_step_runs(tiny_bundle, disc_params):
         np.asarray(dp["discriminator.msd.convs.0.weight"]),
         np.asarray(disc_params["discriminator.msd.convs.0.weight"]),
     )
+
+
+def test_reused_forward_matches_two_forward_step(tiny_bundle, disc_params):
+    """The single-forward (vjp) GAN step must be numerically identical to the
+    naive two-forward formulation — same losses AND same updated params."""
+    config, gen_params = tiny_bundle
+    gen_params = {k: jnp.asarray(v) for k, v in gen_params.items()}
+    batch = _random_batch(config, np.random.default_rng(3))
+    rng = jax.random.PRNGKey(4)
+    gen_opt, disc_opt = optax.adamw(2e-4), optax.adamw(2e-4)
+
+    results = []
+    for reuse in (True, False):
+        step = make_gan_train_step(
+            config, gen_opt, disc_opt, segment_frames=8,
+            mel_kwargs=MEL_KWARGS, donate=False, reuse_forward=reuse,
+        )
+        gp, dp, gos, dos, metrics = step(
+            gen_params, disc_params, gen_opt.init(gen_params),
+            disc_opt.init(disc_params), batch, rng,
+        )
+        results.append((gp, dp, metrics))
+
+    (gp_a, dp_a, m_a), (gp_b, dp_b, m_b) = results
+    np.testing.assert_allclose(float(m_a.gen_loss), float(m_b.gen_loss), rtol=1e-5)
+    np.testing.assert_allclose(float(m_a.disc_loss), float(m_b.disc_loss), rtol=1e-5)
+    for k in gp_a:
+        np.testing.assert_allclose(
+            np.asarray(gp_a[k]), np.asarray(gp_b[k]), rtol=1e-4, atol=1e-6,
+            err_msg=f"gen param {k} diverged",
+        )
+    for k in dp_a:
+        np.testing.assert_allclose(
+            np.asarray(dp_a[k]), np.asarray(dp_b[k]), rtol=1e-4, atol=1e-6,
+            err_msg=f"disc param {k} diverged",
+        )
