@@ -19,6 +19,7 @@
 //
 // Build: cmake -S native -B native/build && cmake --build native/build
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
@@ -360,3 +361,229 @@ VT_API void vt_wav_encode(const float* samples, uint64_t n, uint32_t rate,
         pcm[i] = (int16_t)(v * 32767.0f);
     }
 }
+
+// ---------------------------------------------------------------------------
+// Embeddable synthesis (vt_engine_* / vt_synthesize)
+//
+// The reference exposes synthesis itself through its C ABI
+// (vits_model_process, /root/reference/src/include/vits.h:87-102) because its
+// whole engine is in-process CPU code.  On TPU the compiled XLA program must
+// live inside the host process that owns the chip (the Python/JAX engine), so
+// the embeddable C story is a thin client: vt_synthesize speaks the engine
+// server's HTTP protocol over a local socket and hands back float PCM.  This
+// is the same shape every production TPU serving stack takes — the accelerator
+// program is a service, the C ABI is the integration point.
+// ---------------------------------------------------------------------------
+
+#include <netdb.h>
+#include <sys/socket.h>
+
+struct VtAudio {
+    float* samples;
+    uint64_t n_samples;
+    uint32_t sample_rate;
+};
+
+struct VtEngine {
+    std::string host;
+    uint16_t port = 0;
+    std::string error;
+};
+
+static int vt_dial(VtEngine* e) {
+    struct addrinfo hints = {};
+    hints.ai_family = AF_UNSPEC;
+    hints.ai_socktype = SOCK_STREAM;
+    struct addrinfo* res = nullptr;
+    char portbuf[16];
+    std::snprintf(portbuf, sizeof portbuf, "%u", (unsigned)e->port);
+    if (getaddrinfo(e->host.c_str(), portbuf, &hints, &res) != 0 || !res) {
+        e->error = "getaddrinfo failed for " + e->host;
+        return -1;
+    }
+    int fd = -1;
+    for (auto* ai = res; ai; ai = ai->ai_next) {
+        fd = socket(ai->ai_family, ai->ai_socktype, ai->ai_protocol);
+        if (fd < 0) continue;
+        if (connect(fd, ai->ai_addr, ai->ai_addrlen) == 0) break;
+        close(fd);
+        fd = -1;
+    }
+    freeaddrinfo(res);
+    if (fd < 0) e->error = "connect failed to " + e->host + ":" + portbuf;
+    return fd;
+}
+
+static bool vt_send_all(int fd, const char* data, size_t n) {
+    while (n) {
+        ssize_t w = write(fd, data, n);
+        if (w <= 0) return false;
+        data += w;
+        n -= (size_t)w;
+    }
+    return true;
+}
+
+// Full HTTP/1.1 exchange: returns status code, fills body; -1 on IO error.
+static int vt_http_roundtrip(VtEngine* e, const std::string& request,
+                             std::vector<uint8_t>& body) {
+    int fd = vt_dial(e);
+    if (fd < 0) return -1;
+    if (!vt_send_all(fd, request.data(), request.size())) {
+        e->error = "short write";
+        close(fd);
+        return -1;
+    }
+    std::vector<uint8_t> buf;
+    uint8_t chunk[65536];
+    ssize_t r;
+    while ((r = read(fd, chunk, sizeof chunk)) > 0)
+        buf.insert(buf.end(), chunk, chunk + r);
+    close(fd);
+    // split headers / body
+    const char* marker = "\r\n\r\n";
+    auto it = std::search(buf.begin(), buf.end(), marker, marker + 4);
+    if (buf.size() < 12 || it == buf.end()) {
+        e->error = "malformed HTTP response";
+        return -1;
+    }
+    int status = std::atoi(reinterpret_cast<const char*>(buf.data()) + 9);
+    body.assign(it + 4, buf.end());
+    return status;
+}
+
+static void vt_json_escape(const char* s, std::string& out) {
+    for (const unsigned char* p = (const unsigned char*)s; *p; ++p) {
+        switch (*p) {
+            case '"': out += "\\\""; break;
+            case '\\': out += "\\\\"; break;
+            case '\n': out += "\\n"; break;
+            case '\r': out += "\\r"; break;
+            case '\t': out += "\\t"; break;
+            default:
+                if (*p < 0x20) {
+                    char esc[8];
+                    std::snprintf(esc, sizeof esc, "\\u%04x", *p);
+                    out += esc;
+                } else {
+                    out += (char)*p;
+                }
+        }
+    }
+}
+
+VT_API VtEngine* vt_engine_connect(const char* host, uint16_t port) {
+    auto* e = new VtEngine();
+    e->host = host ? host : "127.0.0.1";
+    e->port = port;
+    std::string req = "GET /healthz HTTP/1.1\r\nHost: " + e->host +
+                      "\r\nConnection: close\r\n\r\n";
+    std::vector<uint8_t> body;
+    int status = vt_http_roundtrip(e, req, body);
+    if (status != 200) {
+        if (e->error.empty()) e->error = "healthz returned " + std::to_string(status);
+        // keep the handle so the caller can read the error, but mark it
+        e->port = port;  // retain for retries
+        return e;        // caller checks vt_engine_error
+    }
+    e->error.clear();
+    return e;
+}
+
+VT_API const char* vt_engine_error(const VtEngine* e) {
+    return (e && !e->error.empty()) ? e->error.c_str() : nullptr;
+}
+
+// Synthesize text -> float PCM.  speaker_id < 0 means "no speaker";
+// speaking_rate / noise_scale / noise_scale_duration <= 0 mean "use the
+// checkpoint's configured value".  Returns nullptr on failure (see
+// vt_engine_error).
+VT_API VtAudio* vt_synthesize(VtEngine* e, const char* text, int32_t speaker_id,
+                              int64_t seed, float speaking_rate,
+                              float noise_scale, float noise_scale_duration) {
+    if (!e || !text) return nullptr;
+    e->error.clear();
+    std::string payload = "{\"text\": \"";
+    vt_json_escape(text, payload);
+    payload += "\", \"seed\": " + std::to_string(seed);
+    if (speaker_id >= 0)
+        payload += ", \"speaker_id\": " + std::to_string(speaker_id);
+    char num[64];
+    if (speaking_rate > 0) {
+        std::snprintf(num, sizeof num, ", \"speaking_rate\": %.6f", speaking_rate);
+        payload += num;
+    }
+    if (noise_scale > 0) {
+        std::snprintf(num, sizeof num, ", \"noise_scale\": %.6f", noise_scale);
+        payload += num;
+    }
+    if (noise_scale_duration > 0) {
+        std::snprintf(num, sizeof num, ", \"noise_scale_duration\": %.6f",
+                      noise_scale_duration);
+        payload += num;
+    }
+    payload += "}";
+
+    std::string req = "POST /synthesize HTTP/1.1\r\nHost: " + e->host +
+                      "\r\nContent-Type: application/json\r\nContent-Length: " +
+                      std::to_string(payload.size()) +
+                      "\r\nConnection: close\r\n\r\n" + payload;
+    std::vector<uint8_t> body;
+    int status = vt_http_roundtrip(e, req, body);
+    if (status != 200) {
+        if (e->error.empty())
+            e->error = "synthesize returned HTTP " + std::to_string(status) +
+                       ": " + std::string(body.begin(), body.end());
+        return nullptr;
+    }
+    // Parse the WAV container: RIFF....WAVE then chunks; find fmt + data.
+    if (body.size() < 44 || std::memcmp(body.data(), "RIFF", 4) != 0 ||
+        std::memcmp(body.data() + 8, "WAVE", 4) != 0) {
+        e->error = "response is not a WAV file";
+        return nullptr;
+    }
+    uint32_t rate = 0;
+    uint16_t bits = 0, channels = 0;
+    const uint8_t* pcm = nullptr;
+    uint64_t pcm_bytes = 0;
+    for (uint64_t off = 12; off + 8 <= body.size();) {
+        uint32_t sz;
+        std::memcpy(&sz, body.data() + off + 4, 4);
+        const uint8_t* chunk_data = body.data() + off + 8;
+        if (off + 8 + sz > body.size()) sz = (uint32_t)(body.size() - off - 8);
+        if (std::memcmp(body.data() + off, "fmt ", 4) == 0 && sz >= 16) {
+            std::memcpy(&channels, chunk_data + 2, 2);
+            std::memcpy(&rate, chunk_data + 4, 4);
+            std::memcpy(&bits, chunk_data + 14, 2);
+        } else if (std::memcmp(body.data() + off, "data", 4) == 0) {
+            pcm = chunk_data;
+            pcm_bytes = sz;
+        }
+        off += 8 + sz + (sz & 1);
+    }
+    if (!pcm || bits != 16 || channels != 1) {
+        e->error = "unsupported WAV layout (want 16-bit mono PCM)";
+        return nullptr;
+    }
+    auto* audio = new VtAudio();
+    audio->n_samples = pcm_bytes / 2;
+    audio->sample_rate = rate;
+    audio->samples = (float*)std::malloc(audio->n_samples * sizeof(float));
+    const int16_t* s16 = reinterpret_cast<const int16_t*>(pcm);
+    for (uint64_t i = 0; i < audio->n_samples; ++i)
+        audio->samples[i] = (float)s16[i] / 32767.0f;
+    return audio;
+}
+
+VT_API const float* vt_audio_samples(const VtAudio* a) { return a->samples; }
+VT_API uint64_t vt_audio_num_samples(const VtAudio* a) { return a->n_samples; }
+VT_API uint32_t vt_audio_sample_rate(const VtAudio* a) { return a->sample_rate; }
+
+VT_API void vt_audio_free(VtAudio* a) {
+    if (a) {
+        std::free(a->samples);
+        delete a;
+    }
+}
+
+VT_API void vt_engine_close(VtEngine* e) { delete e; }

@@ -104,3 +104,53 @@ def test_native_full_loader_matches_python(tiny_hf_model, tmp_path):
     assert set(p_nat) == set(p_py)
     for k in p_py:
         np.testing.assert_array_equal(p_nat[k], p_py[k])
+
+
+@pytest.mark.skipif(
+    not native.available() or not hasattr(native.load_library(), "vt_engine_connect"),
+    reason="native library with vt_synthesize not built",
+)
+def test_vt_synthesize_matches_python_engine(tiny_bundle):
+    """The embeddable C ABI synthesis client must return the same audio the
+    Python engine produces (modulo the WAV int16 quantization)."""
+    import threading
+
+    from vits_tpu.config import EngineConfig
+    from vits_tpu.engine.server import serve
+    from vits_tpu.engine.synthesizer import Synthesizer
+    from vits_tpu.text.tokenizer import VitsTokenizer
+
+    config, params = tiny_bundle
+    vocab = {c: i for i, c in enumerate("kzyuvdheswm' ablc")}
+    tok = VitsTokenizer(vocab=vocab, pad_token="k", unk_token="z")
+    model = Synthesizer(config, tok, params, EngineConfig(token_buckets=(32,)))
+    server, worker = serve(model, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = server.server_address[1]
+        with native.NativeEngineClient(port=port) as client:
+            pcm, rate = client.synthesize("hello dame", seed=3)
+        assert rate == config.sampling_rate
+        # the server folds per-request seeds into per-row keys, so compare
+        # against the per-row-seed engine path
+        expected = model.synthesize(["hello dame"], seed=[3])[0]
+        assert pcm.shape == expected.shape
+        np.testing.assert_allclose(pcm, expected, atol=2.0 / 32767)
+
+        # controls reach the engine through the C ABI too
+        with native.NativeEngineClient(port=port) as client:
+            fast, _ = client.synthesize("hello dame", seed=3, speaking_rate=2.0)
+        assert len(fast) < len(pcm)
+    finally:
+        worker.stop()
+        server.shutdown()
+
+
+@pytest.mark.skipif(
+    not native.available() or not hasattr(native.load_library(), "vt_engine_connect"),
+    reason="native library with vt_synthesize not built",
+)
+def test_vt_engine_connect_refused():
+    with pytest.raises(ConnectionError):
+        native.NativeEngineClient(port=1)  # nothing listens there

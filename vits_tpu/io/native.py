@@ -105,6 +105,28 @@ def load_library() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_float), ctypes.c_uint64,
                 ctypes.c_uint32, ctypes.POINTER(ctypes.c_uint8),
             ]
+            # Embeddable synthesis client (vt_engine_*, vt_synthesize) —
+            # absent from libraries built before round 2.
+            if hasattr(lib, "vt_engine_connect"):
+                lib.vt_engine_connect.restype = ctypes.c_void_p
+                lib.vt_engine_connect.argtypes = [ctypes.c_char_p, ctypes.c_uint16]
+                lib.vt_engine_error.restype = ctypes.c_char_p
+                lib.vt_engine_error.argtypes = [ctypes.c_void_p]
+                lib.vt_synthesize.restype = ctypes.c_void_p
+                lib.vt_synthesize.argtypes = [
+                    ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+                    ctypes.c_int64, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+                ]
+                lib.vt_audio_samples.restype = ctypes.POINTER(ctypes.c_float)
+                lib.vt_audio_samples.argtypes = [ctypes.c_void_p]
+                lib.vt_audio_num_samples.restype = ctypes.c_uint64
+                lib.vt_audio_num_samples.argtypes = [ctypes.c_void_p]
+                lib.vt_audio_sample_rate.restype = ctypes.c_uint32
+                lib.vt_audio_sample_rate.argtypes = [ctypes.c_void_p]
+                lib.vt_audio_free.restype = None
+                lib.vt_audio_free.argtypes = [ctypes.c_void_p]
+                lib.vt_engine_close.restype = None
+                lib.vt_engine_close.argtypes = [ctypes.c_void_p]
             _LIB = lib
             break
     return _LIB
@@ -245,3 +267,68 @@ def load_ggml_native(source: str | bytes, dtype=np.float32):
     # view into the mmap must not outlive the checkpoint handle.
     params = convert_state_dict(ck.tensors(copy=True), dtype=dtype)
     return config, tokenizer, params
+
+
+class NativeEngineClient:
+    """ctypes wrapper over the embeddable synthesis C ABI (vt_engine_*).
+
+    Demonstrates what a C/C++/Swift embedder does: connect to a running
+    engine server, call ``vt_synthesize``, get float PCM back.  The TPU
+    program must live in the process that owns the chip, so the C ABI's
+    synthesis entry point is a local-socket client — the TPU-native
+    equivalent of the reference's in-process ``vits_model_process``
+    (/root/reference/src/include/vits.h:102).
+    """
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 8080):
+        self._lib = load_library()
+        if self._lib is None or not hasattr(self._lib, "vt_engine_connect"):
+            raise RuntimeError("native library with vt_synthesize not built")
+        self._handle = self._lib.vt_engine_connect(host.encode(), port)
+        err = self._lib.vt_engine_error(self._handle)
+        if err:
+            msg = err.decode()
+            self.close()
+            raise ConnectionError(msg)
+
+    def synthesize(
+        self,
+        text: str,
+        speaker_id: int | None = None,
+        seed: int = 0,
+        speaking_rate: float | None = None,
+        noise_scale: float | None = None,
+        noise_scale_duration: float | None = None,
+    ) -> tuple[np.ndarray, int]:
+        """Returns (float32 PCM, sample_rate)."""
+        audio = self._lib.vt_synthesize(
+            self._handle,
+            text.encode("utf-8"),
+            -1 if speaker_id is None else int(speaker_id),
+            int(seed),
+            0.0 if speaking_rate is None else float(speaking_rate),
+            0.0 if noise_scale is None else float(noise_scale),
+            0.0 if noise_scale_duration is None else float(noise_scale_duration),
+        )
+        if not audio:
+            err = self._lib.vt_engine_error(self._handle)
+            raise RuntimeError(err.decode() if err else "vt_synthesize failed")
+        try:
+            n = int(self._lib.vt_audio_num_samples(audio))
+            rate = int(self._lib.vt_audio_sample_rate(audio))
+            ptr = self._lib.vt_audio_samples(audio)
+            pcm = np.ctypeslib.as_array(ptr, shape=(n,)).copy()
+        finally:
+            self._lib.vt_audio_free(audio)
+        return pcm, rate
+
+    def close(self) -> None:
+        if getattr(self, "_handle", None):
+            self._lib.vt_engine_close(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
