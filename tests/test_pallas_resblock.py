@@ -31,7 +31,7 @@ def test_fused_resblock_matches_xla(kernel_size, dilations):
     got = fused_resblock(
         x, w1, b1, w2, b2,
         kernel_size=kernel_size, dilations=dilations, slope=0.1,
-        tile_t=32, interpret=True,
+        tile_t=32, interpret=True, packing=1,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-4)
 
@@ -48,7 +48,7 @@ def test_fused_resblock_tile_not_dividing():
     )
     got = fused_resblock(
         x, w1, b1, w2, b2, kernel_size=3, dilations=(1, 3), slope=0.1,
-        tile_t=16, interpret=True,
+        tile_t=16, interpret=True, packing=1,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-4)
 
@@ -57,3 +57,77 @@ def test_total_halo():
     # k=11, dilations (1,3,5): pairs halos (5+5, 15+5, 25+5) = 60
     assert total_halo(11, (1, 3, 5)) == 60
     assert total_halo(3, (1, 3, 5)) == 12
+
+
+# --------------------------------------------------------------------------- #
+# Time-packed variant (C < 128): g = 128/C timesteps folded into the lane dim
+# --------------------------------------------------------------------------- #
+
+
+@pytest.mark.parametrize("C,kernel_size,dilations", [
+    (64, 3, (1, 3, 5)),   # g=2, residual offsets all even -> slice path
+    (64, 11, (1, 3, 5)),  # g=2, widest receptive field
+    (32, 7, (1, 3, 5)),   # g=4, residual offsets 6/18/30 -> block-matmul path
+    (32, 11, (1, 3, 5)),  # g=4
+    (8, 5, (1, 2)),       # g=16, stress slot bookkeeping
+])
+def test_packed_resblock_matches_xla(C, kernel_size, dilations):
+    rng = np.random.default_rng(2)
+    B, T = 2, 150
+    x = rng.standard_normal((B, T, C)).astype(np.float32)
+    w1, b1, w2, b2 = _make_weights(rng, len(dilations), kernel_size, C)
+
+    expected = xla_resblock(
+        x, ([w1[i] for i in range(len(dilations))],
+            [b1[i] for i in range(len(dilations))],
+            [w2[i] for i in range(len(dilations))],
+            [b2[i] for i in range(len(dilations))]),
+        kernel_size, dilations, 0.1,
+    )
+    got = fused_resblock(
+        x, w1, b1, w2, b2,
+        kernel_size=kernel_size, dilations=dilations, slope=0.1,
+        tile_t=16, interpret=True,
+    )
+    scale = max(1.0, float(np.abs(np.asarray(expected)).max()))
+    np.testing.assert_allclose(
+        np.asarray(got) / scale, np.asarray(expected) / scale, atol=5e-6
+    )
+
+
+def test_packed_resblock_masks_like_module():
+    """Per-row lengths: padded tail must match the mask-propagating module
+    behavior (zeros past each row's valid length at every conv boundary)."""
+    import jax.numpy as jnp
+
+    from vits_tpu.ops.conv import conv1d, leaky_relu
+
+    rng = np.random.default_rng(3)
+    B, T, C, k, dils = 2, 96, 32, 3, (1, 3)
+    lengths = np.array([96, 41], np.int32)
+    x = rng.standard_normal((B, T, C)).astype(np.float32)
+    mask = (np.arange(T)[None, :] < lengths[:, None]).astype(np.float32)[..., None]
+    x = x * mask
+    w1, b1, w2, b2 = _make_weights(rng, len(dils), k, C)
+
+    # reference: masked XLA path exactly as models/hifigan._resblock
+    def masked_ref(x):
+        x = jnp.asarray(x)
+        m = jnp.asarray(mask)
+        for i, d in enumerate(dils):
+            res = x
+            h = leaky_relu(x, 0.1)
+            h = conv1d(h, jnp.asarray(w1[i]), jnp.asarray(b1[i]),
+                       padding=(k * d - d) // 2, dilation=d) * m
+            h = leaky_relu(h, 0.1)
+            h = conv1d(h, jnp.asarray(w2[i]), jnp.asarray(b2[i]),
+                       padding=(k - 1) // 2) * m
+            x = h + res
+        return np.asarray(x)
+
+    expected = masked_ref(x)
+    got = fused_resblock(
+        x, w1, b1, w2, b2, kernel_size=k, dilations=dils, slope=0.1,
+        tile_t=16, lengths=jnp.asarray(lengths), interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), expected, atol=1e-5)

@@ -59,8 +59,8 @@ def test_stream_small_margin_detectably_diverges(model):
     the overlap machinery is vacuous)."""
     text = "hello sad dame well cheese"
     oneshot = model.synthesize(text, seed=5)
-    streamed = StreamingDecoder(model, chunk_frames=16, margin_frames=0).synthesize_streaming(
-        text, seed=5
-    )
+    streamed = StreamingDecoder(
+        model, chunk_frames=16, margin_frames=0, flow_margin_frames=0
+    ).synthesize_streaming(text, seed=5)
     assert streamed.shape == oneshot.shape
     assert not np.allclose(streamed, oneshot, atol=2e-6)

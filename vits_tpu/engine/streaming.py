@@ -1,24 +1,29 @@
 """Chunked streaming decode: low time-to-first-audio (TTFA).
 
 The reference synthesizes the entire utterance in one graph and returns only at
-the end (vits.cpp:1101-1191) — TTFA == total latency.  Here the cheap stages
-(encoder -> durations -> flow) run first in one small program, then the HiFiGAN
-vocoder decodes the latent frames in fixed-size chunks with a receptive-field
-margin on each side; the margin region is recomputed per chunk and discarded,
-so emitted PCM is bit-identical to the one-shot decode (overlap-*discard*, not
-overlap-add: the vocoder is a pure feed-forward conv stack, so given enough
-context the interior is exact — verified in tests/test_streaming.py).
+the end (vits.cpp:1101-1191) — TTFA == total latency.  Here only the globally-
+coupled stages (encoder -> durations -> alignment -> prior sample) run over the
+full utterance, in one small program; the FLOW and the HiFiGAN vocoder — both
+frame-local conv stacks — then decode fixed-size latent windows fused into one
+program per chunk, with a receptive-field margin on each side.  The margin
+region is recomputed per chunk and discarded, so emitted PCM is bit-identical
+to the one-shot decode (overlap-*discard*: given enough context the interior
+of a feed-forward conv stack is exact — verified in tests/test_streaming.py).
+
+Round-1 ran the full flow before the first chunk, which made the latents
+program the TTFA floor; chunking the flow (half receptive field: 4 couplings x
+4 wavenet layers x k=5 dilation-1 = 32 frames) removes that floor.
+
+Margins: ``margin_frames`` covers the vocoder's receptive field (~16 latent
+frames for the MMS config; 20 is the safe default) and ``flow_margin_frames``
+the flow's (32 exactly; 40 default) — the decode window recomputes
+chunk + 2*(margin + flow_margin) frames.
 
 Note on comparing against ``Synthesizer.synthesize``: streamed chunks are
 full-precision floats, while the engine ships its waveform as int16 PCM by
 default (``EngineConfig.transfer_int16``) — exact equality holds with
 ``transfer_int16=False``; otherwise the difference is the <= 1/32767 transfer
 quantization.
-
-Margin: the vocoder's receptive field is ~16 latent frames for the MMS config
-(conv_pre ±3, plus the per-stage resblock dilation pyramids divided by the
-accumulated upsample rate); ``margin_frames=20`` is the safe default, checked
-at runtime in tests by exact comparison.
 """
 
 from __future__ import annotations
@@ -31,11 +36,11 @@ import numpy as np
 
 from vits_tpu.io.params import ParamView
 from vits_tpu.models.hifigan import hifigan
-from vits_tpu.models.vits import text_to_latents
+from vits_tpu.models.vits import latents_from_prior, text_to_prior
 
 
 class StreamingDecoder:
-    """Wraps a Synthesizer with chunked vocoder dispatch.
+    """Wraps a Synthesizer with chunked flow+vocoder dispatch.
 
     Usage::
 
@@ -49,22 +54,28 @@ class StreamingDecoder:
         synthesizer,
         chunk_frames: int = 64,
         margin_frames: int = 20,
+        flow_margin_frames: int = 40,
     ):
         self.synth = synthesizer
         self.chunk_frames = chunk_frames
         self.margin_frames = margin_frames
-        self._latents_fn_cache = {}
+        self.flow_margin_frames = flow_margin_frames
+        self._prior_fn_cache = {}
         self._decode_fn_cache = {}
 
+    @property
+    def total_margin(self) -> int:
+        return self.margin_frames + self.flow_margin_frames
+
     # ------------------------------------------------------------------ #
-    def _latents_fn(self, num_frames: int):
-        if num_frames not in self._latents_fn_cache:
+    def _prior_fn(self, num_frames: int):
+        if num_frames not in self._prior_fn_cache:
             config = self.synth.config
 
             @jax.jit
             def run(params, ids, mask, rng, speaker_id, controls):
                 noise_scale, noise_scale_duration, speaking_rate = controls
-                return text_to_latents(
+                return text_to_prior(
                     params, config, ids, mask, num_frames,
                     rng=rng, speaker_id=speaker_id,
                     noise_scale=noise_scale,
@@ -72,8 +83,8 @@ class StreamingDecoder:
                     speaking_rate=speaking_rate,
                 )
 
-            self._latents_fn_cache[num_frames] = run
-        return self._latents_fn_cache[num_frames]
+            self._prior_fn_cache[num_frames] = run
+        return self._prior_fn_cache[num_frames]
 
     def _use_pallas(self) -> bool:
         # Match Synthesizer._compiled so streamed chunks run the SAME vocoder
@@ -82,14 +93,18 @@ class StreamingDecoder:
         return jax.default_backend() == "tpu" if flag is None else flag
 
     def _decode_fn(self, window: int):
+        """Fused flow + vocoder over one latent window — ONE dispatch/chunk."""
         if window not in self._decode_fn_cache:
             config = self.synth.config
             use_pallas = self._use_pallas()
 
             @jax.jit
-            def run(params, latents, mask, speaker_embeddings):
+            def run(params, prior_piece, mask3, speaker_embeddings):
+                latents = latents_from_prior(
+                    params, config, prior_piece, mask3, speaker_embeddings
+                )
                 return hifigan(
-                    ParamView(params), config, latents, mask,
+                    ParamView(params), config, latents, mask3,
                     speaker_embeddings, use_pallas=use_pallas,
                 )
 
@@ -116,32 +131,32 @@ class StreamingDecoder:
 
         rng = jax.random.PRNGKey(seed)
         controls = synth._controls(noise_scale, noise_scale_duration, speaking_rate)
-        lat = self._latents_fn(num_frames)(
+        prior = self._prior_fn(num_frames)(
             synth.params, jnp.asarray(ids), jnp.asarray(mask), rng, spk, controls
         )
         # Escalate capacity (doubling ladder, like Synthesizer.synthesize_raw)
         # if the predicted length overflowed the frame bucket.
         for _ in range(4):
-            predicted = int(np.asarray(lat.total_duration)[0])
+            predicted = int(np.asarray(prior.total_duration)[0])
             if predicted <= num_frames:
                 break
             while num_frames < predicted:
                 num_frames *= 2
-            lat = self._latents_fn(num_frames)(
+            prior = self._prior_fn(num_frames)(
                 synth.params, jnp.asarray(ids), jnp.asarray(mask), rng, spk, controls
             )
-        valid_frames = int(np.minimum(np.asarray(lat.total_duration)[0], num_frames))
-        latents = lat.latents
-        frame_mask = lat.frame_mask[..., None]
+        valid_frames = int(np.minimum(np.asarray(prior.total_duration)[0], num_frames))
+        prior_latents = prior.prior_latents
+        frame_mask3 = prior.frame_mask[..., None]
 
         up = synth.config.total_upsample
-        chunk, margin = self.chunk_frames, self.margin_frames
+        chunk, margin = self.chunk_frames, self.total_margin
         window = chunk + 2 * margin
 
         if num_frames <= window:
             # Utterance fits in one window: plain one-shot decode.
             wave = self._decode_fn(num_frames)(
-                synth.params, latents, frame_mask, lat.speaker_embeddings
+                synth.params, prior_latents, frame_mask3, prior.speaker_embeddings
             )
             yield np.asarray(wave)[0, : valid_frames * up]
             return
@@ -150,9 +165,9 @@ class StreamingDecoder:
         start = 0
         while start < valid_frames:
             lo = min(max(start - margin, 0), num_frames - window)
-            piece = latents[:, lo : lo + window]
-            piece_mask = frame_mask[:, lo : lo + window]
-            wave = decode(synth.params, piece, piece_mask, lat.speaker_embeddings)
+            piece = prior_latents[:, lo : lo + window]
+            piece_mask = frame_mask3[:, lo : lo + window]
+            wave = decode(synth.params, piece, piece_mask, prior.speaker_embeddings)
             offset = (start - lo) * up
             n_valid = min(chunk, valid_frames - start) * up
             yield np.asarray(wave)[0, offset : offset + n_valid]

@@ -112,11 +112,16 @@ def hifigan(
             mask = jnp.repeat(mask, rate, axis=1)
             h = h * mask
 
-        # Fused Pallas path: profitable on the wide-channel stages; Mosaic's
-        # HBM slices need the lane (channel) dim aligned to 128, so narrow
-        # tail stages stay on XLA.
+        # Fused Pallas path.  Wide stages (C % 128 == 0) use the plain fused
+        # kernel; narrow stages (C = 64/32) use the time-packed variant that
+        # folds 128/C timesteps into the lane dim — full MXU lanes where XLA
+        # ran at 8%/2.6% MFU (BENCH_DETAIL.json).
         channels = h.shape[-1]
-        fuse = use_pallas and channels % 128 == 0 and h.dtype == jnp.float32
+        fuse = (
+            use_pallas
+            and (channels % 128 == 0 or 128 % channels == 0)
+            and h.dtype == jnp.float32
+        )
 
         res_state = None
         for j in range(num_kernels):

@@ -84,7 +84,22 @@ class LatentsOutput(NamedTuple):
     speaker_embeddings: Optional[jax.Array]
 
 
-def text_to_latents(
+class PriorOutput(NamedTuple):
+    """Result of the text -> sampled-prior stage (pre-flow, pre-vocoder).
+
+    The flow and vocoder are both frame-local conv stacks, so everything
+    after this point can run on chunked windows (streaming TTFA); everything
+    up to here is global (attention over tokens) but cheap.
+    """
+
+    prior_latents: jax.Array  # (B, T_frames, flow_size)
+    frame_mask: jax.Array  # (B, T_frames)
+    total_duration: jax.Array  # (B,)
+    log_duration: jax.Array  # (B, T_in, 1)
+    speaker_embeddings: Optional[jax.Array]
+
+
+def text_to_prior(
     params: dict,
     config: VitsConfig,
     input_ids: jax.Array,  # (B, T_in) int32
@@ -96,8 +111,8 @@ def text_to_latents(
     noise_scale: Optional[float | jax.Array] = None,
     noise_scale_duration: Optional[float | jax.Array] = None,
     speaking_rate: Optional[float | jax.Array] = None,
-) -> LatentsOutput:
-    """Text -> flow latents.
+) -> PriorOutput:
+    """Text -> sampled prior latents (encoder, SDP, alignment, prior draw).
 
     ``noise_scale``/``noise_scale_duration``/``speaking_rate`` may be Python
     floats (baked into the program) or traced scalar arrays — the engine
@@ -178,21 +193,69 @@ def text_to_latents(
     prior_means = jnp.einsum("bft,btc->bfc", attn, enc.prior_means)
     prior_log_variances = jnp.einsum("bft,btc->bfc", attn, enc.prior_log_variances)
 
-    # ---- Prior sample -> flow -> vocoder ---------------------------------- #
+    # ---- Prior sample ------------------------------------------------------ #
     prior_latents = (
         prior_means + noise.prior * jnp.exp(prior_log_variances) * noise_scale
     )
-    frame_mask3 = frame_mask[..., None]
-    latents, _ = residual_coupling_block(
-        p, config, prior_latents, frame_mask3, speaker_embeddings, reverse=True
-    )
-    latents = latents * frame_mask3
-    return LatentsOutput(
-        latents=latents,
+    return PriorOutput(
+        prior_latents=prior_latents,
         frame_mask=frame_mask,
         total_duration=total_duration,
         log_duration=log_duration,
         speaker_embeddings=speaker_embeddings,
+    )
+
+
+def latents_from_prior(
+    params: dict,
+    config: VitsConfig,
+    prior_latents: jax.Array,  # (B, F, flow_size) — may be a chunk window
+    frame_mask3: jax.Array,  # (B, F, 1)
+    speaker_embeddings: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Sampled prior -> flow latents (reverse residual-coupling stack).
+
+    Frame-local: the flow is 4 couplings of 4 k=5 dilation-1 wavenet layers
+    (half receptive field 4*2*4 = 32 frames), so it can run on overlapping
+    windows for streaming — interiors match the full-length run exactly.
+    """
+    p = ParamView(params)
+    latents, _ = residual_coupling_block(
+        p, config, prior_latents, frame_mask3, speaker_embeddings, reverse=True
+    )
+    return latents * frame_mask3
+
+
+def text_to_latents(
+    params: dict,
+    config: VitsConfig,
+    input_ids: jax.Array,
+    input_mask: jax.Array,
+    num_frames: int,
+    rng: Optional[jax.Array] = None,
+    noise: Optional[NoiseOverride] = None,
+    speaker_id: Optional[jax.Array] = None,
+    noise_scale: Optional[float | jax.Array] = None,
+    noise_scale_duration: Optional[float | jax.Array] = None,
+    speaking_rate: Optional[float | jax.Array] = None,
+) -> LatentsOutput:
+    """Text -> flow latents (prior stage + full-length flow)."""
+    prior = text_to_prior(
+        params, config, input_ids, input_mask, num_frames,
+        rng=rng, noise=noise, speaker_id=speaker_id,
+        noise_scale=noise_scale, noise_scale_duration=noise_scale_duration,
+        speaking_rate=speaking_rate,
+    )
+    latents = latents_from_prior(
+        params, config, prior.prior_latents, prior.frame_mask[..., None],
+        prior.speaker_embeddings,
+    )
+    return LatentsOutput(
+        latents=latents,
+        frame_mask=prior.frame_mask,
+        total_duration=prior.total_duration,
+        log_duration=prior.log_duration,
+        speaker_embeddings=prior.speaker_embeddings,
     )
 
 

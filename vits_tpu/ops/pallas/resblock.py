@@ -124,6 +124,226 @@ def _kernel(x_hbm, len_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, xwin, sem,
     out_ref[0] = x.astype(out_ref.dtype)
 
 
+# --------------------------------------------------------------------------- #
+# Time-packed variant: channels C < 128 waste MXU lanes (C=64 runs at 8% MFU,
+# C=32 at 2.6% — BENCH_DETAIL.json), and Mosaic rejects HBM slices whose lane
+# dim isn't 128-aligned.  Packing g = 128/C consecutive timesteps into one
+# 128-lane row fixes both: a dilated conv over the packed layout is still a
+# sum of shift-matmuls, just with block-structured 128x128 weights — packed
+# output row r, slot j draws from input index m = j + tap*d, i.e. packed row
+# r + m//g, slot m%g, so W[tap] lands in block (m%g, j) of the shift-(m//g)
+# matrix.  The residual add crosses slots the same way (offset h1+h2) and is
+# a plain row slice when (h1+h2) % g == 0, two block-permutation matmuls
+# otherwise.
+# --------------------------------------------------------------------------- #
+
+
+def _pack_shift_weights(w: jax.Array, dilation: int, g: int):
+    """(k, C, C) conv weights -> (shifts, (n, gC, gC)) packed shift matrices.
+
+    Traceable (w may be a jit tracer); the placement pattern is static so the
+    scatter unrolls to constant-index updates.
+    """
+    k, C = w.shape[0], w.shape[1]
+    shift_set = sorted({(j + tap * dilation) // g for j in range(g) for tap in range(k)})
+    index = {q: i for i, q in enumerate(shift_set)}
+    out = jnp.zeros((len(shift_set), g * C, g * C), jnp.float32)
+    for tap in range(k):
+        for j in range(g):
+            q, p = divmod(j + tap * dilation, g)
+            out = out.at[index[q], p * C : (p + 1) * C, j * C : (j + 1) * C].add(
+                w[tap].astype(jnp.float32)
+            )
+    return tuple(shift_set), out
+
+
+def _pack_residual_weights(offset: int, g: int, C: int):
+    """Identity slot-shift by ``offset`` as packed block-permutation matrices."""
+    import numpy as np
+
+    shift_set = sorted({(j + offset) // g for j in range(g)})
+    index = {q: i for i, q in enumerate(shift_set)}
+    eye = np.eye(C, dtype=np.float32)
+    out = np.zeros((len(shift_set), g * C, g * C), np.float32)
+    for j in range(g):
+        q, p = divmod(j + offset, g)
+        out[index[q], p * C : (p + 1) * C, j * C : (j + 1) * C] = eye
+    return tuple(shift_set), out
+
+
+def _shift_matmul(src, shifts, w_ref, w_start, rows):
+    acc = None
+    for idx, q in enumerate(shifts):
+        piece = jax.lax.slice_in_dim(src, q, q + rows, axis=0)
+        term = jnp.dot(piece, w_ref[w_start + idx], preferred_element_type=jnp.float32)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _packed_kernel(x_hbm, len_ref, w1_ref, b1_ref, w2_ref, b2_ref, wr_ref,
+                   out_ref, xwin, sem, *, tile_p, window, g, C, halo, slope, pairs):
+    i = pl.program_id(0)
+    b = pl.program_id(1)
+
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * tile_p, window), :], xwin, sem
+    )
+    dma.start()
+    dma.wait()
+
+    valid_len = len_ref[b, 0]
+    x = xwin[:]  # (window, g*C) fp32
+    cur = window
+    loc = 0  # unpacked offset of x row0 slot0 from the window start
+
+    def slot_mask(rows, base):
+        # padded-unpacked position of row r, lane l: g*(i*tile_p + r) + l//C + base
+        pos = (
+            jax.lax.broadcasted_iota(jnp.int32, (rows, g * C), 0) * g
+            + jax.lax.broadcasted_iota(jnp.int32, (rows, g * C), 1) // C
+            + (g * i * tile_p + base)
+        )
+        return (pos >= halo) & (pos < halo + valid_len)
+
+    for pr in pairs:
+        rows1 = cur - pr["q1max"]
+        h = jnp.where(x >= 0, x, x * slope)
+        y1 = _shift_matmul(h, pr["s1"], w1_ref, pr["w1_start"], rows1)
+        y1 = y1 + b1_ref[pr["idx"]][None, :].astype(jnp.float32)
+        # conv1 output row r slot j sits at loc + g*r + j + h1; re-zero
+        # out-of-sequence slots before conv2 reads them
+        y1 = jnp.where(slot_mask(rows1, loc + pr["h1"]), y1, 0.0)
+
+        rows_new = cur - pr["consumed"]
+        h2v = jnp.where(y1 >= 0, y1, y1 * slope)
+        y2 = _shift_matmul(h2v, pr["s2"], w2_ref, pr["w2_start"], rows_new)
+        y2 = y2 + b2_ref[pr["idx"]][None, :]
+
+        if pr["res_slice"] is not None:
+            res = jax.lax.slice_in_dim(
+                x, pr["res_slice"], pr["res_slice"] + rows_new, axis=0
+            )
+        else:
+            res = _shift_matmul(x, pr["sr"], wr_ref, pr["wr_start"], rows_new)
+        x = res + y2
+        cur = rows_new
+        loc += pr["h1"] + pr["h2"]
+        x = jnp.where(slot_mask(cur, loc), x, 0.0)
+
+    # window was rounded up for DMA alignment; keep the first tile_p rows
+    out_ref[0] = jax.lax.slice_in_dim(x, 0, tile_p, axis=0).astype(out_ref.dtype)
+
+
+def _fused_resblock_packed(x, w1, b1, w2, b2, *, kernel_size, dilations, slope,
+                           tile_t, lengths, interpret, g):
+    B, T, C = x.shape
+    k = kernel_size
+    halo = total_halo(k, tuple(dilations))
+
+    # --- packing of weights (traceable) + static per-pair metadata -------- #
+    b1_packed = jnp.tile(b1.astype(jnp.float32), (1, g))
+    b2_packed = jnp.tile(b2.astype(jnp.float32), (1, g))
+
+    pairs = []
+    w1_mats, w2_mats, wr_mats = [], [], []
+    for idx, d in enumerate(dilations):
+        h1 = d * (k - 1) // 2
+        h2 = (k - 1) // 2
+        s1, m1 = _pack_shift_weights(w1[idx], d, g)
+        s2, m2 = _pack_shift_weights(w2[idx], 1, g)
+        off = h1 + h2
+        q1max, q2max = max(s1), max(s2)
+        entry = {
+            "idx": idx, "h1": h1, "h2": h2,
+            "s1": s1, "w1_start": len(w1_mats),
+            "s2": s2, "w2_start": len(w2_mats),
+            "q1max": q1max,
+        }
+        w1_mats.append(m1)
+        w2_mats.append(m2)
+        if off % g == 0:
+            entry["res_slice"] = off // g
+            entry["sr"] = ()
+            entry["wr_start"] = 0
+            qr = off // g
+        else:
+            sr, mr = _pack_residual_weights(off, g, C)
+            entry["res_slice"] = None
+            entry["sr"] = sr
+            entry["wr_start"] = sum(m.shape[0] for m in wr_mats)
+            wr_mats.append(jnp.asarray(mr))
+            qr = max(sr)
+        entry["consumed"] = max(q1max + q2max, qr)
+        pairs.append(entry)
+    # fix w starts to cumulative mat counts
+    acc1 = acc2 = 0
+    for entry, m1, m2 in zip(pairs, w1_mats, w2_mats):
+        entry["w1_start"] = acc1
+        entry["w2_start"] = acc2
+        acc1 += m1.shape[0]
+        acc2 += m2.shape[0]
+
+    consumed_total = sum(p["consumed"] for p in pairs)
+    w1_all = jnp.concatenate(w1_mats, axis=0)
+    w2_all = jnp.concatenate(w2_mats, axis=0)
+    wr_all = (
+        jnp.concatenate(wr_mats, axis=0)
+        if wr_mats
+        else jnp.zeros((1, g * C, g * C), jnp.float32)
+    )
+
+    # --- pack the input: pad front by halo, round up to g*tile grid -------- #
+    rows_needed = -(-T // g)  # ceil
+    tile_p = min(tile_t, max(8, rows_needed))
+    tile_p = -(-tile_p // 8) * 8  # sublane-aligned tile
+    n_tiles = -(-rows_needed // tile_p)
+    # round the halo allowance so the DMA window is sublane (8-row) aligned;
+    # the slack rows are padding, read but unused
+    consumed_round = -(-consumed_total // 8) * 8
+    window = tile_p + consumed_round
+    len_padded = g * (n_tiles * tile_p + consumed_round)
+    pad_back = len_padded - T - halo
+    assert pad_back >= 0, (len_padded, T, halo)
+    xp = jnp.pad(x, ((0, 0), (halo, pad_back), (0, 0)))
+    xp = xp.reshape(B, len_padded // g, g * C)
+
+    if lengths is None:
+        lengths = jnp.full((B,), T, jnp.int32)
+    lengths2 = lengths.astype(jnp.int32).reshape(B, 1)
+
+    kernel = functools.partial(
+        _packed_kernel,
+        tile_p=tile_p, window=window, g=g, C=C, halo=halo, slope=slope,
+        pairs=tuple(pairs),  # static metadata only (ints + tuples)
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, B),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # packed x in HBM; manual DMA
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_p, g * C), lambda i, b: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * tile_p, g * C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((window, g * C), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp, lengths2, w1_all, b1_packed, w2_all, b2_packed, wr_all)
+    return out.reshape(B, n_tiles * tile_p * g, C)[:, :T]
+
+
 def fused_resblock(
     x: jax.Array,  # (B, T, C) — UNpadded
     w1: jax.Array,  # (pairs, k, C, C)
@@ -137,8 +357,22 @@ def fused_resblock(
     tile_t: int = 2048,
     lengths: jax.Array | None = None,  # (B,) valid rows per batch entry
     interpret: bool = False,
+    packing: int | None = None,  # None = auto: 1 if C%128==0 else 128//C
 ) -> jax.Array:
     B, T, C = x.shape
+    if packing is None:
+        if C % 128 == 0:
+            packing = 1
+        elif 128 % C == 0:
+            packing = 128 // C
+        else:
+            raise ValueError(f"channels {C} neither multiple nor divisor of 128")
+    if packing > 1:
+        return _fused_resblock_packed(
+            x, w1, b1, w2, b2, kernel_size=kernel_size,
+            dilations=tuple(dilations), slope=slope, tile_t=tile_t,
+            lengths=lengths, interpret=interpret, g=packing,
+        )
     halo = total_halo(kernel_size, tuple(dilations))
     tile_t = min(tile_t, max(8, T))
     n_tiles = math.ceil(T / tile_t)
