@@ -1,0 +1,170 @@
+"""Training-convergence artifact: GAN training on the synthetic micro-corpus.
+
+Round-1 gap: every train test was a few-step finiteness check; nothing showed
+the objective actually DESCENDS.  This runs a real adversarial training run on
+the deterministic synthetic corpus (vits_tpu/train/synthetic.py) through the
+actual training loop (data pipeline, GAN step, EMA, checkpointing) and commits
+the loss curves plus an EMA-vs-raw eval comparison.
+
+    python scripts/train_convergence.py --steps 1500 --out docs/convergence
+
+Runs on whatever backend jax picks (the TPU chip under axon).  Model is a
+reduced-width VITS (full graph, every module) so a few thousand steps fit in
+minutes; the corpus/objective/step are the production code paths.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def small_config():
+    from vits_tpu.config import VitsConfig
+
+    # full VITS graph at reduced width: every module present, fast steps
+    return VitsConfig(
+        vocab_size=20,
+        hidden_size=96,
+        num_hidden_layers=3,
+        num_attention_heads=2,
+        ffn_dim=192,
+        flow_size=96,
+        spectrogram_bins=513,
+        upsample_initial_channel=256,
+        upsample_rates=(8, 8, 2, 2),
+        upsample_kernel_sizes=(16, 16, 4, 4),
+        resblock_kernel_sizes=(3, 7, 11),
+        resblock_dilation_sizes=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
+        prior_encoder_num_flows=2,
+        prior_encoder_num_wavenet_layers=3,
+        posterior_encoder_num_wavenet_layers=8,
+        duration_predictor_num_flows=2,
+        duration_predictor_filter_channels=96,
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--utts", type=int, default=64)
+    ap.add_argument("--out", default="docs/convergence")
+    ap.add_argument("--corpus", default="", help="reuse an existing corpus dir")
+    ap.add_argument("--segment-frames", type=int, default=32)
+    args = ap.parse_args()
+
+    from vits_tpu.io.loader import export_to_ggml
+    from vits_tpu.io.random_init import random_params
+    from vits_tpu.text.tokenizer import VitsTokenizer
+    from vits_tpu.train.loop import train
+    from vits_tpu.train.synthetic import corpus_vocab, generate_micro_corpus
+
+    os.makedirs(args.out, exist_ok=True)
+    corpus = args.corpus or os.path.join(tempfile.gettempdir(), "vits_micro_corpus")
+    if not os.path.exists(os.path.join(corpus, "metadata.csv")):
+        print(f"generating micro-corpus at {corpus}", flush=True)
+        generate_micro_corpus(corpus, n_utts=args.utts, seed=0)
+
+    config = small_config()
+    vocab = corpus_vocab()
+    assert config.vocab_size >= len(vocab)
+    tokenizer = VitsTokenizer(vocab=vocab, pad_token="_", unk_token="?")
+    params = random_params(config, seed=0, keep_training=True)
+    ckpt = os.path.join(tempfile.gettempdir(), "vits_convergence_init.ggml")
+    export_to_ggml(ckpt, config, tokenizer, params, fp16_convs=False)
+
+    history = []
+
+    def hook(step, metrics, rate):
+        history.append({"step": step, **metrics, "it_per_s": rate})
+        with open(os.path.join(args.out, "loss_curve.json"), "w") as fh:
+            json.dump(history, fh, indent=1)
+
+    run_dir = os.path.join(args.out, "run")
+    train(
+        corpus, ckpt, run_dir,
+        steps=args.steps, batch_size=args.batch_size, learning_rate=args.lr,
+        segment_frames=args.segment_frames,
+        checkpoint_every=max(args.steps // 2, 500), log_every=25,
+        adversarial=True, metrics_hook=hook,
+    )
+
+    # ---- eval: mel-L1 of raw vs EMA weights on held-in utterances --------- #
+    from vits_tpu.config import EngineConfig
+    from vits_tpu.engine.synthesizer import Synthesizer
+    from vits_tpu.train.checkpoint import latest_step
+    from vits_tpu.train.data import VitsDataset
+    from vits_tpu.utils.mel import log_mel_spectrogram
+    from vits_tpu.utils.wav import write_wav
+
+    step = latest_step(run_dir)
+    ckpt_dir = os.path.join(run_dir, f"step_{step:08d}")
+    results = {}
+    dataset = VitsDataset(corpus, tokenizer, config)
+    for name, fname in (("raw", "gen_params.npz"), ("ema", "gen_params_ema.npz")):
+        path = os.path.join(ckpt_dir, fname)
+        if not os.path.exists(path):
+            continue
+        with np.load(path) as data:
+            gp = {k: data[k] for k in data.files}
+        model = Synthesizer(config, tokenizer, gp,
+                            EngineConfig(token_buckets=(64,), use_pallas_vocoder=False))
+        mels = []
+        for i, utt in enumerate(dataset.utterances[:8]):
+            item = dataset.load(utt)
+            if item is None:
+                continue
+            _, _, target = item
+            wave = model.synthesize(utt.text, seed=0,
+                                    noise_scale=0.0, noise_scale_duration=0.0)
+            n = min(len(wave), len(target))
+            if n < 2048:
+                continue
+            m1 = np.asarray(log_mel_spectrogram(np.asarray(wave[None, :n]),
+                                                sample_rate=config.sampling_rate))
+            m2 = np.asarray(log_mel_spectrogram(np.asarray(target[None, :n]),
+                                                sample_rate=config.sampling_rate))
+            mels.append(float(np.abs(m1 - m2).mean()))
+            if i == 0:
+                write_wav(os.path.join(args.out, f"sample_{name}.wav"),
+                          np.asarray(wave), config.sampling_rate)
+        results[name] = float(np.mean(mels)) if mels else None
+        del model
+    with open(os.path.join(args.out, "eval.json"), "w") as fh:
+        json.dump({"mel_l1_vs_target": results, "final_step": step}, fh, indent=2)
+    print("eval:", results, flush=True)
+
+    # ---- plot ------------------------------------------------------------- #
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        steps = [h["step"] for h in history]
+        fig, axes = plt.subplots(2, 3, figsize=(14, 7))
+        for ax, key in zip(axes.flat, ("gen_loss", "disc_loss", "mel", "kl",
+                                       "duration", "adversarial")):
+            if key in history[0]:
+                ax.plot(steps, [h[key] for h in history])
+                ax.set_title(key)
+                ax.set_xlabel("step")
+        fig.tight_layout()
+        fig.savefig(os.path.join(args.out, "loss_curves.png"), dpi=110)
+        print(f"wrote {args.out}/loss_curves.png", flush=True)
+    except Exception as exc:  # matplotlib optional
+        print(f"plot skipped: {exc}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

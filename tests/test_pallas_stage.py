@@ -1,0 +1,115 @@
+"""Fused whole-stage kernel (upsample + resblock trio) vs the XLA module math.
+
+Interpret-mode equivalence for the packed transpose-conv + resblock-chain
+kernel (ops/pallas/stage.py), including per-row length masking — the same
+contract the module path (models/hifigan.py) provides.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vits_tpu.ops.conv import conv1d, conv_transpose1d, leaky_relu
+from vits_tpu.ops.pallas.stage import fused_stage
+
+SLOPE = 0.1
+
+
+def xla_stage(x, up_w, up_b, resblocks, stride, up_padding, mask=None):
+    """The exact per-stage math from models/hifigan.py (module path)."""
+    h = leaky_relu(jnp.asarray(x), SLOPE)
+    h = conv_transpose1d(h, up_w, up_b, stride=stride, padding=up_padding)
+    if mask is not None:
+        h = h * mask
+    out = None
+    for rb in resblocks:
+        xx = h
+        for i, d in enumerate(rb["dilations"]):
+            res = xx
+            k = rb["kernel_size"]
+            y = leaky_relu(xx, SLOPE)
+            y = conv1d(y, rb["w1"][i], rb["b1"][i], padding=(k * d - d) // 2, dilation=d)
+            if mask is not None:
+                y = y * mask
+            y = leaky_relu(y, SLOPE)
+            y = conv1d(y, rb["w2"][i], rb["b2"][i], padding=(k - 1) // 2)
+            if mask is not None:
+                y = y * mask
+            xx = y + res
+        out = xx if out is None else out + xx
+    return np.asarray(out / len(resblocks))
+
+
+def _make_stage(rng, C_in, C_out, k_up, ks):
+    up_w = (rng.standard_normal((k_up, C_in, C_out)) * 0.1).astype(np.float32)
+    up_b = (rng.standard_normal((C_out,)) * 0.1).astype(np.float32)
+    resblocks = []
+    for k in ks:
+        resblocks.append(dict(
+            kernel_size=k, dilations=(1, 3, 5),
+            w1=(rng.standard_normal((3, k, C_out, C_out)) * 0.1).astype(np.float32),
+            b1=(rng.standard_normal((3, C_out)) * 0.1).astype(np.float32),
+            w2=(rng.standard_normal((3, k, C_out, C_out)) * 0.1).astype(np.float32),
+            b2=(rng.standard_normal((3, C_out)) * 0.1).astype(np.float32),
+        ))
+    return up_w, up_b, resblocks
+
+
+@pytest.mark.parametrize("C_in,C_out,ks,T_in,tile_t", [
+    (128, 64, (3, 7, 11), 96, 64),   # MMS stage 3 shape family (g_out=2)
+    (64, 32, (3, 7, 11), 96, 64),    # MMS stage 4 (g_out=4, odd residuals)
+    (64, 32, (3, 5), 70, 24),        # non-dividing T, small tiles
+])
+def test_fused_stage_matches_xla(C_in, C_out, ks, T_in, tile_t):
+    rng = np.random.default_rng(0)
+    stride, k_up = 2, 4
+    up_w, up_b, resblocks = _make_stage(rng, C_in, C_out, k_up, ks)
+    x = rng.standard_normal((2, T_in, C_in)).astype(np.float32)
+    pad = (k_up - stride) // 2
+
+    expected = xla_stage(x, up_w, up_b, resblocks, stride, pad)
+    got = np.asarray(fused_stage(
+        jnp.asarray(x), jnp.asarray(up_w), jnp.asarray(up_b),
+        stride=stride, up_padding=pad, resblocks=resblocks, slope=SLOPE,
+        tile_t=tile_t, interpret=True,
+    ))
+    assert got.shape == (2, T_in * stride, C_out)
+    scale = max(1.0, float(np.abs(expected).max()))
+    np.testing.assert_allclose(got / scale, expected / scale, atol=5e-6)
+
+
+def test_fused_stage_masks_per_row():
+    rng = np.random.default_rng(1)
+    C_in, C_out, stride, k_up = 64, 32, 2, 4
+    T_in = 120
+    lengths = np.array([120, 47], np.int32)
+    up_w, up_b, resblocks = _make_stage(rng, C_in, C_out, k_up, (3, 7))
+    x = rng.standard_normal((2, T_in, C_in)).astype(np.float32)
+    x = x * (np.arange(T_in)[None, :] < lengths[:, None]).astype(np.float32)[..., None]
+    mask = jnp.asarray(
+        (np.arange(T_in * stride)[None, :] < lengths[:, None] * stride)
+        .astype(np.float32)[..., None]
+    )
+    pad = (k_up - stride) // 2
+
+    expected = xla_stage(x, up_w, up_b, resblocks, stride, pad, mask=mask)
+    got = np.asarray(fused_stage(
+        jnp.asarray(x), jnp.asarray(up_w), jnp.asarray(up_b),
+        stride=stride, up_padding=pad, resblocks=resblocks, slope=SLOPE,
+        tile_t=32, interpret=True, lengths=jnp.asarray(lengths),
+    ))
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+    # the padded tail really is zero
+    assert np.abs(got[1, 47 * stride:]).max() == 0.0
+
+
+def test_fused_stage_rejects_wide_stages():
+    rng = np.random.default_rng(2)
+    up_w, up_b, resblocks = _make_stage(rng, 512, 256, 16, (3,))
+    x = rng.standard_normal((1, 16, 512)).astype(np.float32)
+    with pytest.raises(AssertionError):
+        fused_stage(
+            jnp.asarray(x), jnp.asarray(up_w), jnp.asarray(up_b),
+            stride=8, up_padding=4, resblocks=resblocks, slope=SLOPE,
+            interpret=True,
+        )

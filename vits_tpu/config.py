@@ -187,6 +187,10 @@ class EngineConfig:
     # Route HiFiGAN resblocks through the fused Pallas kernel.
     # None = auto (enabled on TPU backends), True/False = force.
     use_pallas_vocoder: bool | None = None
+    # Matmul precision inside the Pallas vocoder kernels: None = fast single-
+    # pass bf16 multiplies (fp32 accumulation — same class as XLA's DEFAULT
+    # conv precision), "float32" = 3-pass, "highest" = 6-pass fp32-exact.
+    pallas_precision: str | None = None
     # Transfer waveforms device->host as int16 PCM (the final WAV format;
     # halves transfer bytes, quantization error 1/32767 ~ 3e-5).
     transfer_int16: bool = True

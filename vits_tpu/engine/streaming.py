@@ -106,6 +106,7 @@ class StreamingDecoder:
                 return hifigan(
                     ParamView(params), config, latents, mask3,
                     speaker_embeddings, use_pallas=use_pallas,
+                    pallas_precision=self.synth.engine.pallas_precision,
                 )
 
             self._decode_fn_cache[window] = run

@@ -123,6 +123,7 @@ class Synthesizer:
             out = synthesize_fn(
                 params, config, input_ids, input_mask, num_frames,
                 rng=rng, speaker_id=speaker_id, use_pallas=use_pallas,
+                pallas_precision=self.engine.pallas_precision,
                 noise_scale=noise_scale,
                 noise_scale_duration=noise_scale_duration,
                 speaking_rate=speaking_rate,

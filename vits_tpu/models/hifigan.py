@@ -58,7 +58,7 @@ def _resblock(
     return x
 
 
-def _fused_resblock_call(p, h, mask, kernel_size, dilations, slope):
+def _fused_resblock_call(p, h, mask, kernel_size, dilations, slope, precision=None):
     """Route one resblock through the fused Pallas kernel (bit-exact vs XLA)."""
     from vits_tpu.ops.pallas.resblock import fused_resblock
 
@@ -73,7 +73,7 @@ def _fused_resblock_call(p, h, mask, kernel_size, dilations, slope):
     return fused_resblock(
         h, w1, b1, w2, b2,
         kernel_size=kernel_size, dilations=tuple(dilations), slope=slope,
-        tile_t=2048, lengths=lengths,
+        tile_t=2048, lengths=lengths, precision=precision,
     )
 
 
@@ -84,6 +84,7 @@ def hifigan(
     frame_mask: jax.Array | None = None,  # (B, T, 1)
     global_conditioning: jax.Array | None = None,  # (B, 1, speaker_emb)
     use_pallas: bool = False,
+    pallas_precision: str | None = None,  # None = fast bf16 multiplies
 ) -> jax.Array:
     """Latents -> waveform (B, T * prod(upsample_rates))."""
     p = params.sub("decoder")
@@ -98,11 +99,52 @@ def hifigan(
         h = h * mask
 
     for i, rate in enumerate(config.upsample_rates):
-        h = leaky_relu(h, slope)
         kernel_size = config.upsample_kernel_sizes[i]
+        up_w = p[f"upsampler.{i}.weight"]
+        c_in, c_out = h.shape[-1], up_w.shape[-1]
+
+        # Whole-stage fused kernel (leaky + conv-transpose + all resblocks in
+        # one VMEM-resident Pallas program) for the narrow tail stages where
+        # XLA runs at 3-8% MFU; see ops/pallas/stage.py for applicability.
+        stage_fusable = (
+            use_pallas
+            and h.dtype == jnp.float32
+            and 128 % c_in == 0
+            and 128 % c_out == 0
+            and (128 // c_out) == rate * (128 // c_in)
+        )
+        if stage_fusable:
+            from vits_tpu.ops.pallas.stage import fused_stage
+
+            lengths = None
+            if mask is not None:
+                lengths = jnp.sum(mask[..., 0], axis=1).astype(jnp.int32)
+            resblocks = []
+            for j in range(num_kernels):
+                block = p.sub(f"resblocks.{i * num_kernels + j}")
+                pairs = len(config.resblock_dilation_sizes[j])
+                resblocks.append(dict(
+                    kernel_size=config.resblock_kernel_sizes[j],
+                    dilations=tuple(config.resblock_dilation_sizes[j]),
+                    w1=jnp.stack([block[f"convs1.{n}.weight"] for n in range(pairs)]),
+                    b1=jnp.stack([block[f"convs1.{n}.bias"] for n in range(pairs)]),
+                    w2=jnp.stack([block[f"convs2.{n}.weight"] for n in range(pairs)]),
+                    b2=jnp.stack([block[f"convs2.{n}.bias"] for n in range(pairs)]),
+                ))
+            h = fused_stage(
+                h, up_w, p[f"upsampler.{i}.bias"],
+                stride=rate, up_padding=(kernel_size - rate) // 2,
+                resblocks=resblocks, slope=slope, lengths=lengths,
+                precision=pallas_precision,
+            )
+            if mask is not None:
+                mask = jnp.repeat(mask, rate, axis=1)
+            continue
+
+        h = leaky_relu(h, slope)
         h = conv_transpose1d(
             h,
-            p[f"upsampler.{i}.weight"],
+            up_w,
             p[f"upsampler.{i}.bias"],
             stride=rate,
             padding=(kernel_size - rate) // 2,
@@ -132,6 +174,7 @@ def hifigan(
                     config.resblock_kernel_sizes[j],
                     config.resblock_dilation_sizes[j],
                     slope,
+                    precision=pallas_precision,
                 )
             else:
                 block_out = _resblock(

@@ -272,6 +272,7 @@ def synthesize(
     noise_scale_duration: Optional[float] = None,
     speaking_rate: Optional[float] = None,
     use_pallas: bool = False,
+    pallas_precision: Optional[str] = None,
 ) -> SynthesisOutput:
     """Full text -> waveform pipeline (latents stage + vocoder) in one program."""
     p = ParamView(params)
@@ -284,7 +285,7 @@ def synthesize(
     frame_mask3 = lat.frame_mask[..., None]
     waveform = hifigan(
         p, config, lat.latents, frame_mask3, lat.speaker_embeddings,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, pallas_precision=pallas_precision,
     )
 
     frame_lengths = jnp.minimum(lat.total_duration, float(num_frames)).astype(jnp.int32)

@@ -54,7 +54,7 @@ def xla_resblock(x, weights, kernel_size, dilations, slope):
 
 
 def _kernel(x_hbm, len_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, xwin, sem,
-            *, tile_t, kernel_size, dilations, slope, window, halo):
+            *, tile_t, kernel_size, dilations, slope, window, halo, precision=None):
     i = pl.program_id(0)  # time tile
     b = pl.program_id(1)  # batch row
 
@@ -79,7 +79,8 @@ def _kernel(x_hbm, len_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, xwin, sem,
         acc1 = None
         for tap in range(k):
             piece = jax.lax.slice_in_dim(h, tap * dilation, tap * dilation + mid_len, axis=0)
-            term = jnp.dot(piece, w1_ref[pair, tap], preferred_element_type=jnp.float32)
+            term = jnp.dot(piece, w1_ref[pair, tap],
+                           preferred_element_type=jnp.float32, precision=precision)
             acc1 = term if acc1 is None else acc1 + term
         y1 = acc1 + b1_ref[pair][None, :].astype(jnp.float32)
 
@@ -97,7 +98,8 @@ def _kernel(x_hbm, len_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, xwin, sem,
         acc2 = None
         for tap in range(k):
             piece = jax.lax.slice_in_dim(h2v, tap, tap + out_len, axis=0)
-            term = jnp.dot(piece, w2_ref[pair, tap], preferred_element_type=jnp.float32)
+            term = jnp.dot(piece, w2_ref[pair, tap],
+                           preferred_element_type=jnp.float32, precision=precision)
             acc2 = term if acc2 is None else acc2 + term
         y2 = acc2 + b2_ref[pair][None, :]
 
@@ -171,17 +173,54 @@ def _pack_residual_weights(offset: int, g: int, C: int):
     return tuple(shift_set), out
 
 
-def _shift_matmul(src, shifts, w_ref, w_start, rows):
+def _shift_matmul(src, shifts, w_ref, w_start, rows, precision=None):
     acc = None
     for idx, q in enumerate(shifts):
         piece = jax.lax.slice_in_dim(src, q, q + rows, axis=0)
-        term = jnp.dot(piece, w_ref[w_start + idx], preferred_element_type=jnp.float32)
+        term = jnp.dot(piece, w_ref[w_start + idx],
+                       preferred_element_type=jnp.float32, precision=precision)
         acc = term if acc is None else acc + term
     return acc
 
 
+def _run_pairs(x, cur, loc, pairs, w1_ref, b1_ref, w2_ref, b2_ref, wr_ref,
+               slot_mask, slope, precision=None):
+    """Run a packed resblock's (conv1, conv2, residual) pair sequence in VMEM.
+
+    ``x`` is a packed (rows, g*C) value; ``slot_mask(rows, base)`` yields the
+    in-sequence mask for a buffer whose row0/slot0 sits ``base`` unpacked
+    steps past the tile origin.  Returns the narrowed (x, cur, loc).
+    """
+    for pr in pairs:
+        rows1 = cur - pr["q1max"]
+        h = jnp.where(x >= 0, x, x * slope)
+        y1 = _shift_matmul(h, pr["s1"], w1_ref, pr["w1_start"], rows1, precision)
+        y1 = y1 + b1_ref[pr["idx"]][None, :].astype(jnp.float32)
+        # conv1 output row r slot j sits at loc + g*r + j + h1; re-zero
+        # out-of-sequence slots before conv2 reads them
+        y1 = jnp.where(slot_mask(rows1, loc + pr["h1"]), y1, 0.0)
+
+        rows_new = cur - pr["consumed"]
+        h2v = jnp.where(y1 >= 0, y1, y1 * slope)
+        y2 = _shift_matmul(h2v, pr["s2"], w2_ref, pr["w2_start"], rows_new, precision)
+        y2 = y2 + b2_ref[pr["idx"]][None, :]
+
+        if pr["res_slice"] is not None:
+            res = jax.lax.slice_in_dim(
+                x, pr["res_slice"], pr["res_slice"] + rows_new, axis=0
+            )
+        else:
+            res = _shift_matmul(x, pr["sr"], wr_ref, pr["wr_start"], rows_new, precision)
+        x = res + y2
+        cur = rows_new
+        loc += pr["h1"] + pr["h2"]
+        x = jnp.where(slot_mask(cur, loc), x, 0.0)
+    return x, cur, loc
+
+
 def _packed_kernel(x_hbm, len_ref, w1_ref, b1_ref, w2_ref, b2_ref, wr_ref,
-                   out_ref, xwin, sem, *, tile_p, window, g, C, halo, slope, pairs):
+                   out_ref, xwin, sem, *, tile_p, window, g, C, halo, slope, pairs,
+                   precision=None):
     i = pl.program_id(0)
     b = pl.program_id(1)
 
@@ -192,9 +231,6 @@ def _packed_kernel(x_hbm, len_ref, w1_ref, b1_ref, w2_ref, b2_ref, wr_ref,
     dma.wait()
 
     valid_len = len_ref[b, 0]
-    x = xwin[:]  # (window, g*C) fp32
-    cur = window
-    loc = 0  # unpacked offset of x row0 slot0 from the window start
 
     def slot_mask(rows, base):
         # padded-unpacked position of row r, lane l: g*(i*tile_p + r) + l//C + base
@@ -205,47 +241,27 @@ def _packed_kernel(x_hbm, len_ref, w1_ref, b1_ref, w2_ref, b2_ref, wr_ref,
         )
         return (pos >= halo) & (pos < halo + valid_len)
 
-    for pr in pairs:
-        rows1 = cur - pr["q1max"]
-        h = jnp.where(x >= 0, x, x * slope)
-        y1 = _shift_matmul(h, pr["s1"], w1_ref, pr["w1_start"], rows1)
-        y1 = y1 + b1_ref[pr["idx"]][None, :].astype(jnp.float32)
-        # conv1 output row r slot j sits at loc + g*r + j + h1; re-zero
-        # out-of-sequence slots before conv2 reads them
-        y1 = jnp.where(slot_mask(rows1, loc + pr["h1"]), y1, 0.0)
-
-        rows_new = cur - pr["consumed"]
-        h2v = jnp.where(y1 >= 0, y1, y1 * slope)
-        y2 = _shift_matmul(h2v, pr["s2"], w2_ref, pr["w2_start"], rows_new)
-        y2 = y2 + b2_ref[pr["idx"]][None, :]
-
-        if pr["res_slice"] is not None:
-            res = jax.lax.slice_in_dim(
-                x, pr["res_slice"], pr["res_slice"] + rows_new, axis=0
-            )
-        else:
-            res = _shift_matmul(x, pr["sr"], wr_ref, pr["wr_start"], rows_new)
-        x = res + y2
-        cur = rows_new
-        loc += pr["h1"] + pr["h2"]
-        x = jnp.where(slot_mask(cur, loc), x, 0.0)
-
+    x, _, _ = _run_pairs(
+        xwin[:], window, 0, pairs, w1_ref, b1_ref, w2_ref, b2_ref, wr_ref,
+        slot_mask, slope, precision,
+    )
     # window was rounded up for DMA alignment; keep the first tile_p rows
     out_ref[0] = jax.lax.slice_in_dim(x, 0, tile_p, axis=0).astype(out_ref.dtype)
 
 
-def _fused_resblock_packed(x, w1, b1, w2, b2, *, kernel_size, dilations, slope,
-                           tile_t, lengths, interpret, g):
-    B, T, C = x.shape
-    k = kernel_size
-    halo = total_halo(k, tuple(dilations))
+def _build_pairs(w1, b1, w2, b2, kernel_size, dilations, g, C,
+                 idx_base=0, w1_base=0, w2_base=0, wr_base=0):
+    """Packed weights + static metadata for one resblock's pair sequence.
 
-    # --- packing of weights (traceable) + static per-pair metadata -------- #
+    ``*_base`` offsets let a caller concatenate several resblocks' weights
+    into shared arrays (the fused whole-stage kernel does this)."""
+    k = kernel_size
     b1_packed = jnp.tile(b1.astype(jnp.float32), (1, g))
     b2_packed = jnp.tile(b2.astype(jnp.float32), (1, g))
 
     pairs = []
     w1_mats, w2_mats, wr_mats = [], [], []
+    n1 = n2 = nr = 0
     for idx, d in enumerate(dilations):
         h1 = d * (k - 1) // 2
         h2 = (k - 1) // 2
@@ -254,13 +270,15 @@ def _fused_resblock_packed(x, w1, b1, w2, b2, *, kernel_size, dilations, slope,
         off = h1 + h2
         q1max, q2max = max(s1), max(s2)
         entry = {
-            "idx": idx, "h1": h1, "h2": h2,
-            "s1": s1, "w1_start": len(w1_mats),
-            "s2": s2, "w2_start": len(w2_mats),
+            "idx": idx_base + idx, "h1": h1, "h2": h2,
+            "s1": s1, "w1_start": w1_base + n1,
+            "s2": s2, "w2_start": w2_base + n2,
             "q1max": q1max,
         }
         w1_mats.append(m1)
         w2_mats.append(m2)
+        n1 += m1.shape[0]
+        n2 += m2.shape[0]
         if off % g == 0:
             entry["res_slice"] = off // g
             entry["sr"] = ()
@@ -270,19 +288,24 @@ def _fused_resblock_packed(x, w1, b1, w2, b2, *, kernel_size, dilations, slope,
             sr, mr = _pack_residual_weights(off, g, C)
             entry["res_slice"] = None
             entry["sr"] = sr
-            entry["wr_start"] = sum(m.shape[0] for m in wr_mats)
+            entry["wr_start"] = wr_base + nr
             wr_mats.append(jnp.asarray(mr))
+            nr += mr.shape[0]
             qr = max(sr)
         entry["consumed"] = max(q1max + q2max, qr)
         pairs.append(entry)
-    # fix w starts to cumulative mat counts
-    acc1 = acc2 = 0
-    for entry, m1, m2 in zip(pairs, w1_mats, w2_mats):
-        entry["w1_start"] = acc1
-        entry["w2_start"] = acc2
-        acc1 += m1.shape[0]
-        acc2 += m2.shape[0]
+    return pairs, w1_mats, w2_mats, wr_mats, b1_packed, b2_packed
 
+
+def _fused_resblock_packed(x, w1, b1, w2, b2, *, kernel_size, dilations, slope,
+                           tile_t, lengths, interpret, g, precision=None):
+    B, T, C = x.shape
+    k = kernel_size
+    halo = total_halo(k, tuple(dilations))
+
+    pairs, w1_mats, w2_mats, wr_mats, b1_packed, b2_packed = _build_pairs(
+        w1, b1, w2, b2, k, tuple(dilations), g, C
+    )
     consumed_total = sum(p["consumed"] for p in pairs)
     w1_all = jnp.concatenate(w1_mats, axis=0)
     w2_all = jnp.concatenate(w2_mats, axis=0)
@@ -315,6 +338,7 @@ def _fused_resblock_packed(x, w1, b1, w2, b2, *, kernel_size, dilations, slope,
         _packed_kernel,
         tile_p=tile_p, window=window, g=g, C=C, halo=halo, slope=slope,
         pairs=tuple(pairs),  # static metadata only (ints + tuples)
+        precision=precision,
     )
     out = pl.pallas_call(
         kernel,
@@ -358,6 +382,7 @@ def fused_resblock(
     lengths: jax.Array | None = None,  # (B,) valid rows per batch entry
     interpret: bool = False,
     packing: int | None = None,  # None = auto: 1 if C%128==0 else 128//C
+    precision: str | None = None,  # None=fast bf16 multiplies; "highest"=fp32
 ) -> jax.Array:
     B, T, C = x.shape
     if packing is None:
@@ -372,6 +397,7 @@ def fused_resblock(
             x, w1, b1, w2, b2, kernel_size=kernel_size,
             dilations=tuple(dilations), slope=slope, tile_t=tile_t,
             lengths=lengths, interpret=interpret, g=packing,
+            precision=None if precision is None else jax.lax.Precision(precision),
         )
     halo = total_halo(kernel_size, tuple(dilations))
     tile_t = min(tile_t, max(8, T))
@@ -394,6 +420,7 @@ def fused_resblock(
         slope=slope,
         window=window,
         halo=halo,
+        precision=None if precision is None else jax.lax.Precision(precision),
     )
     out = pl.pallas_call(
         kernel,

@@ -1,0 +1,242 @@
+"""Fused HiFiGAN *stage* kernel: leaky -> conv-transpose upsample -> 3 resblocks.
+
+One vocoder stage (vits.cpp:583-644 loop body / HF VitsHifiGan) is
+    h = leaky_relu(h); h = conv_transpose(h); h = mean_j resblock_j(h)
+XLA executes that as dozens of HBM-round-tripping convs; at the narrow tail
+stages it also wastes most MXU lanes (C=64: 8% MFU, C=32: 2.6% —
+BENCH_DETAIL.json).  This kernel keeps the whole stage in VMEM per time tile:
+one input DMA, the transpose-conv as packed shift-matmuls, all three resblock
+pair-chains on the VMEM-resident upsampled window, one output write — ~2 HBM
+passes per stage, full 128-lane occupancy via time-packing.
+
+Applicability (asserted): 128 % C_in == 0, 128 % C_out == 0 and
+g_out == stride * g_in  (g = 128/C) — true for the MMS tail stages
+(128->64 and 64->32, stride 2).  Wide stages keep XLA's conv_transpose +
+the per-resblock fused kernel.
+
+Packing algebra for the transpose conv (kernel layout (k, C_in, C_out),
+already spatially reversed; torch output semantics via input dilation with
+pad' = k-1-padding, see ops/conv.py::conv_transpose1d): output position
+v = g_out*R + sigma draws tap j from input step (v - HO - pad' + tap)/s when
+divisible — with g_out = s*g_in the input packed row advances 1:1 with the
+output packed row, so each (sigma, tap) lands in block (step % g_in, sigma)
+of packed shift matrix (step // g_in).  HO (the resblock phase's left halo,
+in output steps) must be divisible by s; it is (all resblock halos are even).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vits_tpu.ops.pallas.resblock import (
+    _build_pairs,
+    _run_pairs,
+    _shift_matmul,
+    total_halo,
+)
+
+
+def _pack_transpose_weights(w, g_in, g_out, stride, pad_eff, ho, hi, c_in, c_out):
+    """(k, C_in, C_out) transpose-conv weights -> packed shift matrices.
+
+    Returns (shifts, (n, g_in*C_in, g_out*C_out)).  Entry for output slot
+    sigma, tap j: m = sigma + j - ho - pad_eff; contributes iff m % s == 0,
+    from relative input step m//s + hi -> packed row shift q, slot p.
+    """
+    k = w.shape[0]
+    entries = []
+    for sigma in range(g_out):
+        for j in range(k):
+            m = sigma + j - ho - pad_eff
+            if m % stride != 0:
+                continue
+            step = m // stride + hi
+            assert step >= 0, (sigma, j, step)
+            q, p = divmod(step, g_in)
+            entries.append((q, p, sigma, j))
+    shift_set = sorted({q for q, _, _, _ in entries})
+    index = {q: i for i, q in enumerate(shift_set)}
+    out = jnp.zeros((len(shift_set), g_in * c_in, g_out * c_out), jnp.float32)
+    for q, p, sigma, j in entries:
+        out = out.at[
+            index[q], p * c_in : (p + 1) * c_in, sigma * c_out : (sigma + 1) * c_out
+        ].add(w[j].astype(jnp.float32))
+    return tuple(shift_set), out
+
+
+def _stage_kernel(x_hbm, len_ref, wu_ref, bu_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                  wr_ref, out_ref, xwin, sem, *, tile_p, window_in, rows_u,
+                  g_out, c_out, ho, slope, u_shifts, blocks, inv_blocks,
+                  precision=None):
+    i = pl.program_id(0)
+    b = pl.program_id(1)
+
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * tile_p, window_in), :], xwin, sem
+    )
+    dma.start()
+    dma.wait()
+
+    valid_out = len_ref[b, 0]  # in OUTPUT (upsampled) steps
+
+    def slot_mask(rows, base):
+        pos = (
+            jax.lax.broadcasted_iota(jnp.int32, (rows, g_out * c_out), 0) * g_out
+            + jax.lax.broadcasted_iota(jnp.int32, (rows, g_out * c_out), 1) // c_out
+            + (g_out * i * tile_p + base)
+        )
+        return (pos >= ho) & (pos < ho + valid_out)
+
+    # --- leaky + transpose-conv upsample (packed shift-matmuls) ----------- #
+    xin = xwin[:]
+    h = jnp.where(xin >= 0, xin, xin * slope)
+    xu = _shift_matmul(h, u_shifts, wu_ref, 0, rows_u, precision)
+    xu = xu + bu_ref[0][None, :]
+    xu = jnp.where(slot_mask(rows_u, 0), xu, 0.0)
+
+    # --- three resblock pair-chains on the SAME VMEM window --------------- #
+    acc = None
+    for blk in blocks:
+        xb, _, _ = _run_pairs(
+            xu, rows_u, 0, blk["pairs"], w1_ref, b1_ref, w2_ref, b2_ref,
+            wr_ref, slot_mask, slope, precision,
+        )
+        off = blk["align_off"]
+        xb = jax.lax.slice_in_dim(xb, off, off + tile_p, axis=0)
+        acc = xb if acc is None else acc + xb
+    out_ref[0] = (acc * inv_blocks).astype(out_ref.dtype)
+
+
+def fused_stage(
+    x: jax.Array,  # (B, T_in, C_in) stage input (pre-leaky)
+    up_weight: jax.Array,  # (k_up, C_in, C_out) spatially-reversed (loader layout)
+    up_bias: jax.Array,  # (C_out,)
+    *,
+    stride: int,
+    up_padding: int,
+    resblocks: Sequence[dict],  # per block: {w1, b1, w2, b2, kernel_size, dilations}
+    slope: float,
+    tile_t: int = 2048,
+    lengths: jax.Array | None = None,  # (B,) valid INPUT steps
+    interpret: bool = False,
+    precision: str | None = None,  # None=fast bf16 multiplies; "highest"=fp32
+) -> jax.Array:
+    """One fused vocoder stage.  Returns (B, T_in*stride, C_out)."""
+    B, T_in, C_in = x.shape
+    k_up, _, C_out = up_weight.shape
+    assert 128 % C_in == 0 and 128 % C_out == 0, (C_in, C_out)
+    g_in, g_out = 128 // C_in, 128 // C_out
+    assert g_out == stride * g_in, (g_in, g_out, stride)
+    T_out = T_in * stride
+    pad_eff = k_up - 1 - up_padding  # input-dilated-conv padding (ops/conv.py)
+
+    # --- resblock metadata over a shared weight pool ----------------------- #
+    halos = [total_halo(rb["kernel_size"], tuple(rb["dilations"])) for rb in resblocks]
+    ho = max(halos)
+    assert ho % stride == 0 and all((ho - h) % g_out == 0 for h in halos)
+
+    blocks = []
+    w1_mats, w2_mats, wr_mats, b1_rows, b2_rows = [], [], [], [], []
+    n1 = n2 = nr = 0
+    for rb, h_k in zip(resblocks, halos):
+        pairs, m1, m2, mr, b1p, b2p = _build_pairs(
+            rb["w1"], rb["b1"], rb["w2"], rb["b2"], rb["kernel_size"],
+            tuple(rb["dilations"]), g_out, C_out,
+            idx_base=len(b1_rows), w1_base=n1, w2_base=n2, wr_base=nr,
+        )
+        w1_mats += m1
+        w2_mats += m2
+        wr_mats += mr
+        n1 = sum(m.shape[0] for m in w1_mats)
+        n2 = sum(m.shape[0] for m in w2_mats)
+        nr = sum(m.shape[0] for m in wr_mats)
+        b1_rows.extend(b1p)
+        b2_rows.extend(b2p)
+        blocks.append({
+            "pairs": pairs,
+            "consumed": sum(p["consumed"] for p in pairs),
+            "align_off": (ho - h_k) // g_out,
+        })
+
+    w1_all = jnp.concatenate(w1_mats, axis=0)
+    w2_all = jnp.concatenate(w2_mats, axis=0)
+    wr_all = (
+        jnp.concatenate(wr_mats, axis=0)
+        if wr_mats
+        else jnp.zeros((1, 128, 128), jnp.float32)
+    )
+    b1_all = jnp.stack(b1_rows)
+    b2_all = jnp.stack(b2_rows)
+
+    # --- upsampler packing -------------------------------------------------- #
+    hi = -(-(ho + pad_eff) // stride)  # input-step left margin for the convT
+    u_shifts, wu = _pack_transpose_weights(
+        up_weight, g_in, g_out, stride, pad_eff, ho, hi, C_in, C_out
+    )
+    bu = jnp.tile(up_bias.astype(jnp.float32), g_out)[None, :]
+
+    # --- tiling ------------------------------------------------------------- #
+    rows_out_needed = -(-T_out // g_out)
+    tile_p = min(tile_t, max(8, rows_out_needed))
+    tile_p = -(-tile_p // 8) * 8
+    n_tiles = -(-rows_out_needed // tile_p)
+    u_extra = max(b["consumed"] + b["align_off"] for b in blocks)
+    rows_u = tile_p + u_extra
+    window_in = rows_u + max(u_shifts)
+    window_in = -(-window_in // 8) * 8  # sublane-aligned DMA
+
+    # input padding: hi steps front; back so every tile's DMA window exists
+    in_rows_total = (n_tiles - 1) * tile_p + window_in
+    len_in_padded = g_in * in_rows_total
+    pad_back = len_in_padded - T_in - hi
+    assert pad_back >= 0, (len_in_padded, T_in, hi)
+    xp = jnp.pad(x, ((0, 0), (hi, pad_back), (0, 0)))
+    xp = xp.reshape(B, in_rows_total, g_in * C_in)
+
+    if lengths is None:
+        lengths = jnp.full((B,), T_in, jnp.int32)
+    len_out = (lengths.astype(jnp.int32) * stride).reshape(B, 1)
+
+    kernel = functools.partial(
+        _stage_kernel,
+        tile_p=tile_p, window_in=window_in, rows_u=rows_u,
+        g_out=g_out, c_out=C_out, ho=ho, slope=slope,
+        u_shifts=u_shifts, blocks=tuple(blocks),
+        inv_blocks=1.0 / len(blocks),
+        precision=None if precision is None else jax.lax.Precision(precision),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, B),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_p, g_out * C_out), lambda i, b: (b, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * tile_p, g_out * C_out), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((window_in, g_in * C_in), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp, len_out, wu, bu, w1_all, b1_all, w2_all, b2_all, wr_all)
+    return out.reshape(B, n_tiles * tile_p * g_out, C_out)[:, :T_out]

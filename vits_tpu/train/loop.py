@@ -31,6 +31,7 @@ def train(
     adversarial: bool = True,
     model_parallel: int = 1,
     log=print,
+    metrics_hook=None,
 ):
     import jax
     import jax.numpy as jnp
@@ -185,6 +186,12 @@ def train(
                     f"{k}={float(v):.3f}" for k, v in metrics._asdict().items()
                 )
                 log(f"step {step_idx}: {fields} ({rate:.2f} it/s)")
+                if metrics_hook is not None:
+                    metrics_hook(
+                        step_idx,
+                        {k: float(v) for k, v in metrics._asdict().items()},
+                        rate,
+                    )
 
             if (step_idx % checkpoint_every == 0 or step_idx == steps) and is_primary():
                 # Single-writer: only process 0 touches the checkpoint dir —
