@@ -94,7 +94,8 @@ def main() -> int:
         corpus, ckpt, run_dir,
         steps=args.steps, batch_size=args.batch_size, learning_rate=args.lr,
         segment_frames=args.segment_frames,
-        checkpoint_every=max(args.steps // 2, 500), log_every=25,
+        checkpoint_every=min(max(args.steps // 2, 500), args.steps),
+        log_every=min(25, args.steps),
         adversarial=True, metrics_hook=hook,
     )
 

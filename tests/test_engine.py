@@ -149,3 +149,25 @@ def test_per_row_seed_list_deterministic(engine_model):
     a = engine_model.synthesize(["hello sad dame"], seed=[11])[0]
     b = engine_model.synthesize(["hello sad dame"], seed=[11])[0]
     np.testing.assert_array_equal(a, b)
+
+
+def test_submit_collect_pipelined_matches_sequential(engine_model):
+    """Async submit/collect with 2 in-flight must produce the same audio as
+    the synchronous path (dispatch is async; only collect blocks)."""
+    texts = ["hello sad dame", "ab well", "mad dash home", "sles awes"]
+    seq = [engine_model.synthesize(t, seed=9) for t in texts]
+
+    from collections import deque
+
+    pending = deque()
+    piped = []
+    for t in texts:
+        pending.append(engine_model.submit(t, seed=9))
+        if len(pending) >= 2:
+            piped.append(engine_model.collect(pending.popleft()))
+    while pending:
+        piped.append(engine_model.collect(pending.popleft()))
+
+    for a, out in zip(seq, piped):
+        b = out.waveform[0, : out.lengths[0]]
+        np.testing.assert_array_equal(a, b)

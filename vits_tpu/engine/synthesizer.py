@@ -39,6 +39,24 @@ class EngineOutput(NamedTuple):
     log_duration: np.ndarray  # (B, T_in, 1)
 
 
+class PendingSynthesis(NamedTuple):
+    """An in-flight dispatch (device futures — nothing host-blocking yet).
+
+    JAX dispatch is asynchronous: ``Synthesizer.submit`` returns immediately
+    and the device computes in the background; ``Synthesizer.collect`` blocks
+    on the single device->host fetch.  Keeping 2+ submissions in flight hides
+    dispatch latency entirely — the throughput serving pattern (the reference
+    is strictly synchronous, one graph at a time)."""
+
+    device_out: tuple
+    ids: np.ndarray
+    mask: np.ndarray
+    num_frames: int
+    rng: object
+    speaker: Optional[np.ndarray]
+    controls: tuple
+
+
 def _next_bucket(buckets: Sequence[int], value: int) -> int:
     for b in buckets:
         if value <= b:
@@ -214,22 +232,21 @@ class Synthesizer:
         ]
         return results[0] if single else results
 
-    def synthesize_raw(
+    def submit(
         self,
         texts: str | Sequence[str],
         *,
         seed: int | Sequence[int] = 0,
         speaker_id: Optional[int | Sequence[int]] = None,
-        max_redispatch: int = 3,
         pad_to_batch: Optional[int] = None,
         noise_scale: Optional[float] = None,
         noise_scale_duration: Optional[float] = None,
         speaking_rate: Optional[float] = None,
-    ) -> EngineOutput:
-        """Untrimmed batched output (host numpy) + per-row lengths.
+    ) -> PendingSynthesis:
+        """Dispatch synthesis WITHOUT blocking; pair with :meth:`collect`.
 
-        All device outputs are fetched with ONE ``jax.device_get`` — every
-        separate blocking read is a full host<->device round-trip.
+        Keep several submissions in flight to hide dispatch latency
+        (throughput mode — see PendingSynthesis).
         """
         if isinstance(texts, str):
             texts = [texts]
@@ -259,32 +276,63 @@ class Synthesizer:
             rng = jax.vmap(lambda s: jax.random.fold_in(base, s))(jnp.asarray(seeds))
         controls = self._controls(noise_scale, noise_scale_duration, speaking_rate)
         num_frames = self.engine.frame_bucket(t_bucket)
-
-        def fetch(device_out):
-            host = jax.device_get(device_out)
-            wave = host[0]
-            if wave.dtype == np.int16:
-                wave = wave.astype(np.float32) / 32767.0
-            return EngineOutput(wave, *host[1:])
-
-        # Common path: one dispatch, ONE full fetch.  On overflow, ladder
-        # attempts read only the tiny frame_lengths (not the big waveform the
-        # attempt is about to discard); the full fetch happens once at the end.
         device_out = self._dispatch(ids, mask, num_frames, rng, spk, controls)
-        out = fetch(device_out)
+        return PendingSynthesis(device_out, ids, mask, num_frames, rng, spk, controls)
+
+    @staticmethod
+    def _fetch(device_out) -> EngineOutput:
+        host = jax.device_get(device_out)
+        wave = host[0]
+        if wave.dtype == np.int16:
+            wave = wave.astype(np.float32) / 32767.0
+        return EngineOutput(wave, *host[1:])
+
+    def collect(self, pending: PendingSynthesis, max_redispatch: int = 3) -> EngineOutput:
+        """Block on a submission's single device->host fetch (+ overflow ladder)."""
+        out = self._fetch(pending.device_out)
         predicted = int(out.frame_lengths.max())
+        num_frames = pending.num_frames
         if predicted > num_frames:
             for attempt in range(max_redispatch):
                 while num_frames < predicted:
                     num_frames *= 2
                 self.stats["redispatches"] += 1
-                device_out = self._dispatch(ids, mask, num_frames, rng, spk, controls)
+                device_out = self._dispatch(
+                    pending.ids, pending.mask, num_frames,
+                    pending.rng, pending.speaker, pending.controls,
+                )
+                # ladder attempts read only the tiny frame_lengths (not the
+                # big waveform the attempt is about to discard)
                 predicted = int(jax.device_get(device_out[2]).max())
                 if predicted <= num_frames or attempt == max_redispatch - 1:
-                    out = fetch(device_out)
+                    out = self._fetch(device_out)
                     break
         self.stats["audio_seconds"] += float(np.sum(out.lengths)) / self.config.sampling_rate
         return out
+
+    def synthesize_raw(
+        self,
+        texts: str | Sequence[str],
+        *,
+        seed: int | Sequence[int] = 0,
+        speaker_id: Optional[int | Sequence[int]] = None,
+        max_redispatch: int = 3,
+        pad_to_batch: Optional[int] = None,
+        noise_scale: Optional[float] = None,
+        noise_scale_duration: Optional[float] = None,
+        speaking_rate: Optional[float] = None,
+    ) -> EngineOutput:
+        """Untrimmed batched output (host numpy) + per-row lengths.
+
+        All device outputs are fetched with ONE ``jax.device_get`` — every
+        separate blocking read is a full host<->device round-trip.
+        """
+        pending = self.submit(
+            texts, seed=seed, speaker_id=speaker_id, pad_to_batch=pad_to_batch,
+            noise_scale=noise_scale, noise_scale_duration=noise_scale_duration,
+            speaking_rate=speaking_rate,
+        )
+        return self.collect(pending, max_redispatch=max_redispatch)
 
     # ------------------------------------------------------------------ #
     def warmup(self, batch_sizes=(1,), token_buckets=None):
