@@ -191,6 +191,12 @@ class EngineConfig:
     # pass bf16 multiplies (fp32 accumulation — same class as XLA's DEFAULT
     # conv precision), "float32" = 3-pass, "highest" = 6-pass fp32-exact.
     pallas_precision: str | None = None
+    # Route the residual-coupling flow through the fused whole-flow Pallas
+    # kernel (ops/pallas/flow.py).  Default False: XLA already fuses the flow
+    # to ~0.3 ms at the bench shape and the kernel measured 0.48 ms
+    # (BENCH_DETAIL.json "flow_kernel") — kept as an opt-in for shapes where
+    # per-op launch overhead dominates.
+    use_pallas_flow: bool = False
     # Transfer waveforms device->host as int16 PCM (the final WAV format;
     # halves transfer bytes, quantization error 1/32767 ~ 3e-5).
     transfer_int16: bool = True

@@ -101,7 +101,9 @@ class StreamingDecoder:
             @jax.jit
             def run(params, prior_piece, mask3, speaker_embeddings):
                 latents = latents_from_prior(
-                    params, config, prior_piece, mask3, speaker_embeddings
+                    params, config, prior_piece, mask3, speaker_embeddings,
+                    use_pallas=self.synth.engine.use_pallas_flow,
+                    pallas_precision=self.synth.engine.pallas_precision,
                 )
                 return hifigan(
                     ParamView(params), config, latents, mask3,

@@ -142,6 +142,7 @@ class Synthesizer:
                 params, config, input_ids, input_mask, num_frames,
                 rng=rng, speaker_id=speaker_id, use_pallas=use_pallas,
                 pallas_precision=self.engine.pallas_precision,
+                use_pallas_flow=self.engine.use_pallas_flow,
                 noise_scale=noise_scale,
                 noise_scale_duration=noise_scale_duration,
                 speaking_rate=speaking_rate,

@@ -212,14 +212,36 @@ def latents_from_prior(
     prior_latents: jax.Array,  # (B, F, flow_size) — may be a chunk window
     frame_mask3: jax.Array,  # (B, F, 1)
     speaker_embeddings: Optional[jax.Array] = None,
+    use_pallas: bool = False,
+    pallas_precision: Optional[str] = None,
 ) -> jax.Array:
     """Sampled prior -> flow latents (reverse residual-coupling stack).
 
     Frame-local: the flow is 4 couplings of 4 k=5 dilation-1 wavenet layers
     (half receptive field 4*2*4 = 32 frames), so it can run on overlapping
     windows for streaming — interiors match the full-length run exactly.
+
+    With ``use_pallas`` the whole 4-coupling stack runs as ONE fused kernel
+    (ops/pallas/flow.py) instead of ~170 XLA ops.
     """
     p = ParamView(params)
+    if use_pallas:
+        from vits_tpu.ops.pallas.flow import (
+            fused_flow, pack_flow_cond, pack_flow_weights,
+        )
+
+        packed, type_a = pack_flow_weights(p, config)
+        cond = (
+            pack_flow_cond(p, config, speaker_embeddings)
+            if speaker_embeddings is not None
+            else None
+        )
+        lengths = jnp.sum(frame_mask3[..., 0], axis=1).astype(jnp.int32)
+        latents = fused_flow(
+            prior_latents, packed, type_a, config,
+            lengths=lengths, cond=cond, precision=pallas_precision,
+        )
+        return latents * frame_mask3
     latents, _ = residual_coupling_block(
         p, config, prior_latents, frame_mask3, speaker_embeddings, reverse=True
     )
@@ -238,6 +260,8 @@ def text_to_latents(
     noise_scale: Optional[float | jax.Array] = None,
     noise_scale_duration: Optional[float | jax.Array] = None,
     speaking_rate: Optional[float | jax.Array] = None,
+    use_pallas: bool = False,
+    pallas_precision: Optional[str] = None,
 ) -> LatentsOutput:
     """Text -> flow latents (prior stage + full-length flow)."""
     prior = text_to_prior(
@@ -249,6 +273,7 @@ def text_to_latents(
     latents = latents_from_prior(
         params, config, prior.prior_latents, prior.frame_mask[..., None],
         prior.speaker_embeddings,
+        use_pallas=use_pallas, pallas_precision=pallas_precision,
     )
     return LatentsOutput(
         latents=latents,
@@ -273,14 +298,23 @@ def synthesize(
     speaking_rate: Optional[float] = None,
     use_pallas: bool = False,
     pallas_precision: Optional[str] = None,
+    use_pallas_flow: bool = False,
 ) -> SynthesisOutput:
-    """Full text -> waveform pipeline (latents stage + vocoder) in one program."""
+    """Full text -> waveform pipeline (latents stage + vocoder) in one program.
+
+    ``use_pallas`` routes the vocoder through the fused Pallas kernels (a
+    measured win); ``use_pallas_flow`` routes the coupling flow through
+    ops/pallas/flow.py — correct but measured slightly SLOWER than XLA at
+    standard shapes (BENCH_DETAIL.json flow_kernel entry), so it is a
+    separate opt-in.
+    """
     p = ParamView(params)
     lat = text_to_latents(
         params, config, input_ids, input_mask, num_frames,
         rng=rng, noise=noise, speaker_id=speaker_id,
         noise_scale=noise_scale, noise_scale_duration=noise_scale_duration,
         speaking_rate=speaking_rate,
+        use_pallas=use_pallas_flow, pallas_precision=pallas_precision,
     )
     frame_mask3 = lat.frame_mask[..., None]
     waveform = hifigan(
