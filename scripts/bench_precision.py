@@ -88,7 +88,7 @@ def quality_vs(ref_waves, model, sentences):
         w = out.waveform[0][: int(out.lengths[0])].astype(np.float32)
         r = ref_waves[i]
         n = min(len(w), len(r))
-        diffs.append(float(mel_l1(w[:n], r[:n], sample_rate=sr)))
+        diffs.append(float(mel_l1(w[None, :n], r[None, :n], sample_rate=sr)))
     return float(np.mean(diffs))
 
 

@@ -55,11 +55,16 @@ class StreamingDecoder:
         chunk_frames: int = 64,
         margin_frames: int = 20,
         flow_margin_frames: int = 40,
+        pipeline_depth: int = 2,
     ):
         self.synth = synthesizer
         self.chunk_frames = chunk_frames
         self.margin_frames = margin_frames
         self.flow_margin_frames = flow_margin_frames
+        # Window decodes in flight at once: depth 2+ overlaps each chunk's
+        # device->host transfer (and host round-trip) with the next chunk's
+        # compute, exactly like Synthesizer.submit/collect.
+        self.pipeline_depth = max(1, pipeline_depth)
         self._prior_fn_cache = {}
         self._decode_fn_cache = {}
 
@@ -134,15 +139,42 @@ class StreamingDecoder:
 
         rng = jax.random.PRNGKey(seed)
         controls = synth._controls(noise_scale, noise_scale_duration, speaking_rate)
+        up = synth.config.total_upsample
+        chunk, margin = self.chunk_frames, self.total_margin
+        window = chunk + 2 * margin
+
+        def prefetch(arr):
+            try:
+                arr.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass
+
         prior = self._prior_fn(num_frames)(
             synth.params, jnp.asarray(ids), jnp.asarray(mask), rng, spk, controls
         )
+        prefetch(prior.total_duration)
+
+        # Speculative first-window decode: the common case is no capacity
+        # overflow, so dispatch chunk 0 BEFORE blocking on total_duration —
+        # the overflow check's host round-trip then rides behind the first
+        # window's compute instead of preceding it (TTFA - one tunnel RTT).
+        spec_wave = None
+        if num_frames > window:
+            spec_wave = self._decode_fn(window)(
+                synth.params,
+                prior.prior_latents[:, :window],
+                prior.frame_mask[..., None][:, :window],
+                prior.speaker_embeddings,
+            )
+            prefetch(spec_wave)
+
         # Escalate capacity (doubling ladder, like Synthesizer.synthesize_raw)
         # if the predicted length overflowed the frame bucket.
         for _ in range(4):
             predicted = int(np.asarray(prior.total_duration)[0])
             if predicted <= num_frames:
                 break
+            spec_wave = None  # latents are being recomputed; discard
             while num_frames < predicted:
                 num_frames *= 2
             prior = self._prior_fn(num_frames)(
@@ -152,29 +184,45 @@ class StreamingDecoder:
         prior_latents = prior.prior_latents
         frame_mask3 = prior.frame_mask[..., None]
 
-        up = synth.config.total_upsample
-        chunk, margin = self.chunk_frames, self.total_margin
-        window = chunk + 2 * margin
-
         if num_frames <= window:
             # Utterance fits in one window: plain one-shot decode.
             wave = self._decode_fn(num_frames)(
                 synth.params, prior_latents, frame_mask3, prior.speaker_embeddings
             )
+            prefetch(wave)
             yield np.asarray(wave)[0, : valid_frames * up]
             return
 
         decode = self._decode_fn(window)
-        start = 0
-        while start < valid_frames:
+
+        def submit(start):
             lo = min(max(start - margin, 0), num_frames - window)
-            piece = prior_latents[:, lo : lo + window]
-            piece_mask = frame_mask3[:, lo : lo + window]
-            wave = decode(synth.params, piece, piece_mask, prior.speaker_embeddings)
+            if start == 0 and spec_wave is not None:
+                wave = spec_wave  # lo == 0 for the first chunk
+            else:
+                wave = decode(
+                    synth.params,
+                    prior_latents[:, lo : lo + window],
+                    frame_mask3[:, lo : lo + window],
+                    prior.speaker_embeddings,
+                )
+                prefetch(wave)
             offset = (start - lo) * up
             n_valid = min(chunk, valid_frames - start) * up
+            return wave, offset, n_valid
+
+        from collections import deque
+
+        starts = list(range(0, valid_frames, chunk))
+        inflight: deque = deque()
+        for start in starts:
+            inflight.append(submit(start))
+            if len(inflight) >= self.pipeline_depth:
+                wave, offset, n_valid = inflight.popleft()
+                yield np.asarray(wave)[0, offset : offset + n_valid]
+        while inflight:
+            wave, offset, n_valid = inflight.popleft()
             yield np.asarray(wave)[0, offset : offset + n_valid]
-            start += chunk
 
     def synthesize_streaming(
         self, text: str, seed: int = 0, speaker_id: int | None = None, **controls

@@ -110,7 +110,10 @@ class ParamView:
         if hasattr(value, "dtype") and value.dtype == "int8":
             scale = self._params.get(key + ".scale")
             if scale is not None:
-                return value.astype("float32") * scale.reshape(
+                # Dequantize into the scale's dtype: the engine casts scales
+                # to its compute dtype at load, so int8 weights follow the
+                # fp32/bf16 policy without a second knob.
+                return value.astype(scale.dtype) * scale.reshape(
                     (1,) * (value.ndim - 1) + (-1,)
                 )
         return value

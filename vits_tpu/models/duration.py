@@ -139,7 +139,9 @@ def stochastic_duration_predictor_reverse(
     h = dilated_depth_separable_conv(p.sub("conv_dds"), config, h, padding_mask)
     h = conv1d(h, p["conv_proj.weight"], p["conv_proj.bias"]) * padding_mask
 
-    latents = noise * noise_scale
+    # Cast the (traced fp32) control scalar to the compute dtype: bf16 * f32
+    # would promote the latents to f32 and break bf16-weight convs downstream.
+    latents = noise * jnp.asarray(noise_scale, noise.dtype)
     # flows list is [EA (index 0), CF_1..CF_N]; reverse order, skipping index 1.
     flow_indices = [i for i in range(config.duration_predictor_num_flows, -1, -1) if i != 1]
     for i in flow_indices:

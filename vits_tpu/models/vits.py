@@ -194,8 +194,13 @@ def text_to_prior(
     prior_log_variances = jnp.einsum("bft,btc->bfc", attn, enc.prior_log_variances)
 
     # ---- Prior sample ------------------------------------------------------ #
+    # noise_scale arrives as a traced fp32 scalar (per-call control); cast to
+    # the compute dtype so bf16 runs stay bf16 end-to-end.
     prior_latents = (
-        prior_means + noise.prior * jnp.exp(prior_log_variances) * noise_scale
+        prior_means
+        + noise.prior
+        * jnp.exp(prior_log_variances)
+        * jnp.asarray(noise_scale, prior_means.dtype)
     )
     return PriorOutput(
         prior_latents=prior_latents,
