@@ -33,9 +33,13 @@ def main() -> int:
     params = random_params(config, keep_training=False)
     vocab = {c: i for i, c in enumerate("kzyuvdheswm' ablcfgijnopqrtx")}
     tok = VitsTokenizer(vocab=vocab, pad_token="k", unk_token="z")
+    # frames_per_token 2.5: random MMS-shaped weights predict ~2.2 frames per
+    # token, so 2.0 capacity overflows at paragraph scale and every call pays
+    # the doubling ladder (prior recomputed at 2x frames) — that measures the
+    # overflow path, not streaming.  2.5 is the no-overflow operating point.
     model = Synthesizer(
         config, tok, params,
-        EngineConfig(token_buckets=(1024,), frames_per_token=2.0),
+        EngineConfig(token_buckets=(1024, 2048), frames_per_token=2.5),
     )
     stream = StreamingDecoder(model, chunk_frames=args.chunk_frames, margin_frames=20)
     # Streaming targets long utterances (paragraph-scale): the one-shot decode

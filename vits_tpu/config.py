@@ -191,6 +191,11 @@ class EngineConfig:
     # pass bf16 multiplies (fp32 accumulation — same class as XLA's DEFAULT
     # conv precision), "float32" = 3-pass, "highest" = 6-pass fp32-exact.
     pallas_precision: str | None = None
+    # Route encoder self-attention through the flash-style fused kernel
+    # (ops/pallas/attention.py — no quadratic HBM traffic; the XLA path
+    # profiles at ~27 ms for a 2048-token encoder vs ~2 ms at 512).
+    # None = auto (enabled on TPU backends), True/False = force.
+    use_pallas_attention: bool | None = None
     # Route the residual-coupling flow through the fused whole-flow Pallas
     # kernel (ops/pallas/flow.py).  Default False: XLA already fuses the flow
     # to ~0.3 ms at the bench shape and the kernel measured 0.48 ms

@@ -77,6 +77,11 @@ class StreamingDecoder:
         if num_frames not in self._prior_fn_cache:
             config = self.synth.config
 
+            engine = self.synth.engine
+            use_pallas_attention = engine.use_pallas_attention
+            if use_pallas_attention is None:
+                use_pallas_attention = jax.default_backend() == "tpu"
+
             @jax.jit
             def run(params, ids, mask, rng, speaker_id, controls):
                 noise_scale, noise_scale_duration, speaking_rate = controls
@@ -86,6 +91,8 @@ class StreamingDecoder:
                     noise_scale=noise_scale,
                     noise_scale_duration=noise_scale_duration,
                     speaking_rate=speaking_rate,
+                    use_pallas_attention=use_pallas_attention,
+                    pallas_precision=engine.pallas_precision,
                 )
 
             self._prior_fn_cache[num_frames] = run

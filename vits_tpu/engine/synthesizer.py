@@ -130,6 +130,9 @@ class Synthesizer:
         use_pallas = self.engine.use_pallas_vocoder
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
+        use_pallas_attention = self.engine.use_pallas_attention
+        if use_pallas_attention is None:
+            use_pallas_attention = jax.default_backend() == "tpu"
         transfer_int16 = self.engine.transfer_int16
 
         @functools.partial(jax.jit, static_argnames=("num_frames",))
@@ -143,6 +146,7 @@ class Synthesizer:
                 rng=rng, speaker_id=speaker_id, use_pallas=use_pallas,
                 pallas_precision=self.engine.pallas_precision,
                 use_pallas_flow=self.engine.use_pallas_flow,
+                use_pallas_attention=use_pallas_attention,
                 noise_scale=noise_scale,
                 noise_scale_duration=noise_scale_duration,
                 speaking_rate=speaking_rate,

@@ -32,11 +32,18 @@ class EncoderOutput(NamedTuple):
     prior_log_variances: jax.Array  # (B, T, flow)
 
 
-def _attention(p: ParamView, x: jax.Array, attn_bias: jax.Array | None, config: VitsConfig):
+def _attention(p: ParamView, x: jax.Array, attn_bias: jax.Array | None, config: VitsConfig,
+               use_pallas: bool = False, lengths: jax.Array | None = None,
+               pallas_precision: str | None = None):
     """Multi-head self-attention with relative position bias (window_size).
 
     x: (B, T, H); attn_bias: additive (B, 1, T, T) mask or None.
     Mirrors vits.cpp:271-359 / HF VitsAttention.
+
+    ``use_pallas`` routes through the flash-style fused kernel
+    (ops/pallas/attention.py) — same math, no quadratic HBM traffic; requires
+    the prefix-length mask (``lengths``) the engine always uses, rather than
+    an arbitrary ``attn_bias``.
     """
     bsz, tgt_len, embed_dim = x.shape
     num_heads = config.num_attention_heads
@@ -46,6 +53,21 @@ def _attention(p: ParamView, x: jax.Array, attn_bias: jax.Array | None, config: 
     query = (x @ p["q_proj.weight"] + p["q_proj.bias"]) * scaling
     key = x @ p["k_proj.weight"] + p["k_proj.bias"]
     value = x @ p["v_proj.weight"] + p["v_proj.bias"]
+
+    if use_pallas and config.window_size:
+        from vits_tpu.ops.pallas.attention import flash_rel_attention
+
+        def shape4(t):  # (B, T, H) -> (B, heads, T, head_dim)
+            return t.reshape(bsz, tgt_len, num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        attn4 = flash_rel_attention(
+            shape4(query), shape4(key), shape4(value),
+            p["emb_rel_k"][0], p["emb_rel_v"][0],
+            window=config.window_size, lengths=lengths,
+            precision=pallas_precision,
+        )
+        attn_output = attn4.transpose(0, 2, 1, 3).reshape(bsz, tgt_len, embed_dim)
+        return attn_output @ p["out_proj.weight"] + p["out_proj.bias"]
 
     def shape(t):  # (B, T, H) -> (B*heads, T, head_dim)
         return (
@@ -107,6 +129,8 @@ def text_encoder(
     input_ids: jax.Array,  # (B, T) int32
     padding_mask: jax.Array,  # (B, T, 1) float
     attention_mask: jax.Array | None = None,  # (B, T) float, 1 = keep
+    use_pallas: bool = False,
+    pallas_precision: str | None = None,
 ) -> EncoderOutput:
     p = params.sub("text_encoder")
     hidden = jnp.take(p["embed_tokens.weight"], input_ids, axis=0)
@@ -114,16 +138,21 @@ def text_encoder(
     hidden = hidden * padding_mask
 
     attn_bias = None
+    lengths = None
     if attention_mask is not None:
         # (B, T) -> additive (B, 1, Tq, Tk): 0 where keep, large-negative where pad.
         neg = jnp.finfo(hidden.dtype).min
         attn_bias = (1.0 - attention_mask[:, None, None, :]) * neg
+        # prefix-length form of the same mask, for the fused kernel
+        lengths = jnp.sum(attention_mask, axis=1).astype(jnp.int32)
 
     enc = p.sub("encoder")
     for i in range(config.num_hidden_layers):
         layer = enc.sub(f"layers.{i}")
         residual = hidden
-        attn_out = _attention(layer.sub("attention"), hidden, attn_bias, config)
+        attn_out = _attention(layer.sub("attention"), hidden, attn_bias, config,
+                              use_pallas=use_pallas, lengths=lengths,
+                              pallas_precision=pallas_precision)
         hidden = layer_norm(
             residual + attn_out,
             layer["layer_norm.weight"],

@@ -111,6 +111,8 @@ def text_to_prior(
     noise_scale: Optional[float | jax.Array] = None,
     noise_scale_duration: Optional[float | jax.Array] = None,
     speaking_rate: Optional[float | jax.Array] = None,
+    use_pallas_attention: bool = False,
+    pallas_precision: Optional[str] = None,
 ) -> PriorOutput:
     """Text -> sampled prior latents (encoder, SDP, alignment, prior draw).
 
@@ -161,7 +163,9 @@ def text_to_prior(
         speaker_embeddings = emb[:, None, :]  # (B, 1, emb)
 
     # ---- Text encoder -> prior stats -------------------------------------- #
-    enc = text_encoder(p, config, input_ids, padding_mask, input_mask)
+    enc = text_encoder(p, config, input_ids, padding_mask, input_mask,
+                       use_pallas=use_pallas_attention,
+                       pallas_precision=pallas_precision)
 
     # ---- Durations -------------------------------------------------------- #
     hidden = jax.lax.stop_gradient(enc.last_hidden_state)
@@ -267,6 +271,7 @@ def text_to_latents(
     speaking_rate: Optional[float | jax.Array] = None,
     use_pallas: bool = False,
     pallas_precision: Optional[str] = None,
+    use_pallas_attention: bool = False,
 ) -> LatentsOutput:
     """Text -> flow latents (prior stage + full-length flow)."""
     prior = text_to_prior(
@@ -274,6 +279,8 @@ def text_to_latents(
         rng=rng, noise=noise, speaker_id=speaker_id,
         noise_scale=noise_scale, noise_scale_duration=noise_scale_duration,
         speaking_rate=speaking_rate,
+        use_pallas_attention=use_pallas_attention,
+        pallas_precision=pallas_precision,
     )
     latents = latents_from_prior(
         params, config, prior.prior_latents, prior.frame_mask[..., None],
@@ -304,6 +311,7 @@ def synthesize(
     use_pallas: bool = False,
     pallas_precision: Optional[str] = None,
     use_pallas_flow: bool = False,
+    use_pallas_attention: bool = False,
 ) -> SynthesisOutput:
     """Full text -> waveform pipeline (latents stage + vocoder) in one program.
 
@@ -320,6 +328,7 @@ def synthesize(
         noise_scale=noise_scale, noise_scale_duration=noise_scale_duration,
         speaking_rate=speaking_rate,
         use_pallas=use_pallas_flow, pallas_precision=pallas_precision,
+        use_pallas_attention=use_pallas_attention,
     )
     frame_mask3 = lat.frame_mask[..., None]
     waveform = hifigan(
