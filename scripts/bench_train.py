@@ -35,14 +35,14 @@ def main():
 
     from vits_tpu.config import VitsConfig
     from vits_tpu.io.random_init import random_params
+    from vits_tpu.models.discriminator import init_discriminator_params
     from vits_tpu.train.step import TrainBatch, make_gan_train_step, make_train_step
 
     config = VitsConfig()
     gen_params = {k: jnp.asarray(v) for k, v in
                   random_params(config, seed=0, keep_training=True).items()}
     disc_params = {k: jnp.asarray(v) for k, v in
-                   random_params(config, seed=1, keep_training=True).items()
-                   if k.startswith("discriminator")}
+                   init_discriminator_params(1).items()}
 
     B, T, S = args.batch, args.tokens, args.frames
     rng = np.random.default_rng(0)
