@@ -1,0 +1,132 @@
+"""Device-time profile of one synthesis dispatch, from the XLA profiler trace.
+
+Wall-clock timing through this environment's tunneled TPU is unreliable for
+microbenchmarks: ``block_until_ready`` returns at RPC ack, not device
+completion, so only real ``device_get`` fetches synchronize (BENCH_DETAIL
+``measurement_methodology``).  The profiler's device lane is the ground
+truth.  This captures ONE full-pipeline dispatch and prints:
+
+  * total device time (XLA Modules lane) -> on-chip xRT at capacity
+  * per-op-category breakdown (XLA Ops lane)
+  * each Pallas kernel invocation with its duration
+
+Usage: python scripts/profile_device.py [--tokens 512] [--frames 1024]
+       [--no-pallas] [--update-detail]
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import re
+import sys
+import tempfile
+from collections import defaultdict
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def capture(tokens, frames, use_pallas, use_attention):
+    import jax
+    import jax.numpy as jnp
+
+    from vits_tpu.config import VitsConfig
+    from vits_tpu.io.random_init import random_params
+    from vits_tpu.models.vits import synthesize
+
+    config = VitsConfig()
+    params = {k: jnp.asarray(v) for k, v in
+              random_params(config, keep_training=False).items()}
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, config.vocab_size, (1, tokens)), jnp.int32)
+    mask = jnp.ones((1, tokens), jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    fn = jax.jit(lambda i, m, k: synthesize(
+        params, config, i, m, frames, rng=k,
+        use_pallas=use_pallas, use_pallas_attention=use_attention).waveform)
+    # warm (compile) with a REAL fetch so the device is quiesced
+    np.asarray(fn(ids, mask, key)).sum()
+
+    tmp = tempfile.mkdtemp(prefix="devtrace_")
+    with jax.profiler.trace(tmp):
+        np.asarray(fn(ids, mask, key)).sum()
+    return tmp, config
+
+
+def parse(tmp):
+    path = sorted(glob.glob(f"{tmp}/plugins/profile/*/*.trace.json.gz"))[-1]
+    with gzip.open(path) as f:
+        t = json.load(f)
+    tids = {}
+    for e in t["traceEvents"]:
+        if e.get("ph") == "M" and e.get("name") == "thread_name" and e.get("pid") == 3:
+            tids[e["tid"]] = e["args"].get("name")
+    mod_tid = next((k for k, v in tids.items() if v == "XLA Modules"), None)
+    ops_tid = next((k for k, v in tids.items() if v == "XLA Ops"), None)
+    module_ms = 0.0
+    cat = defaultdict(float)
+    pallas = []
+    for e in t["traceEvents"]:
+        if e.get("ph") != "X" or e.get("pid") != 3:
+            continue
+        if e["tid"] == mod_tid:
+            module_ms += e["dur"] / 1e3
+        elif e["tid"] == ops_tid:
+            name = e["name"]
+            key = re.sub(r"[.\d]+$", "", name)
+            cat[key] += e["dur"] / 1e3
+            if "_lambda_" in name or "pallas" in name.lower():
+                pallas.append((name, e["dur"] / 1e3))
+    return module_ms, dict(cat), pallas
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tokens", type=int, default=512)
+    ap.add_argument("--frames", type=int, default=1024)
+    ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--no-attention", action="store_true")
+    ap.add_argument("--update-detail", action="store_true")
+    args = ap.parse_args()
+
+    tmp, config = capture(args.tokens, args.frames,
+                          not args.no_pallas, not args.no_attention)
+    module_ms, cat, pallas = parse(tmp)
+
+    audio_s = args.frames * config.total_upsample / config.sampling_rate
+    print(f"device time (one dispatch): {module_ms:.3f} ms  "
+          f"-> on-chip capacity xRT {audio_s / (module_ms / 1e3):.0f}x")
+    print("\nper-category device ms:")
+    for k, v in sorted(cat.items(), key=lambda kv: -kv[1])[:15]:
+        print(f"  {v:8.3f}  {k[:80]}")
+    print("\npallas kernel invocations:")
+    for name, ms in sorted(pallas, key=lambda kv: -kv[1]):
+        print(f"  {ms:8.3f}  {name[:80]}")
+
+    if args.update_detail:
+        with open("BENCH_DETAIL.json") as f:
+            detail = json.load(f)
+        detail["device_profile"] = {
+            "note": ("XLA-profiler device-lane times for ONE full dispatch "
+                     "(tokens=%d frames=%d) — the authoritative on-chip "
+                     "numbers; wall-clock microbenches through the tunnel "
+                     "are unreliable (see measurement_methodology)"
+                     % (args.tokens, args.frames)),
+            "module_ms": round(module_ms, 3),
+            "onchip_capacity_xrt": round(audio_s / (module_ms / 1e3), 1),
+            "categories_ms": {k: round(v, 3) for k, v in
+                              sorted(cat.items(), key=lambda kv: -kv[1])[:12]},
+            "pallas_invocations_ms": [
+                {"name": n[:60], "ms": round(ms, 3)}
+                for n, ms in sorted(pallas, key=lambda kv: -kv[1])],
+        }
+        with open("BENCH_DETAIL.json", "w") as f:
+            json.dump(detail, f, indent=1)
+        print("\nBENCH_DETAIL.json updated")
+
+
+if __name__ == "__main__":
+    main()
