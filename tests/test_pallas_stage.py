@@ -113,3 +113,65 @@ def test_fused_stage_rejects_wide_stages():
             stride=8, up_padding=4, resblocks=resblocks, slope=SLOPE,
             interpret=True,
         )
+
+
+def test_fused_stage_packed_chaining():
+    """stage A (packed_out) -> stage B (packed_in) == unpacked chaining."""
+    rng = np.random.default_rng(3)
+    T_in = 96
+    lengths = np.array([96, 41], np.int32)
+    up_wA, up_bA, rbA = _make_stage(rng, 128, 64, 4, (3, 7))
+    up_wB, up_bB, rbB = _make_stage(rng, 64, 32, 4, (3, 5))
+    x = rng.standard_normal((2, T_in, 128)).astype(np.float32)
+    x = x * (np.arange(T_in)[None, :] < lengths[:, None]).astype(np.float32)[..., None]
+    kw = dict(stride=2, up_padding=1, slope=SLOPE, interpret=True, tile_t=48)
+
+    a_ref = fused_stage(jnp.asarray(x), jnp.asarray(up_wA), jnp.asarray(up_bA),
+                        resblocks=rbA, lengths=jnp.asarray(lengths), **kw)
+    b_ref = np.asarray(fused_stage(
+        a_ref, jnp.asarray(up_wB), jnp.asarray(up_bB),
+        resblocks=rbB, lengths=jnp.asarray(lengths) * 2, **kw))
+
+    a_pk = fused_stage(jnp.asarray(x), jnp.asarray(up_wA), jnp.asarray(up_bA),
+                       resblocks=rbA, lengths=jnp.asarray(lengths),
+                       packed_out=True, **kw)
+    assert a_pk.shape[-1] == 128
+    b_got = np.asarray(fused_stage(
+        a_pk, jnp.asarray(up_wB), jnp.asarray(up_bB),
+        resblocks=rbB, lengths=jnp.asarray(lengths) * 2,
+        packed_in=T_in * 2, **kw))
+    np.testing.assert_allclose(b_got, b_ref, atol=1e-6)
+
+
+def test_fused_stage_final_conv():
+    """Terminal stage with fused conv_post+tanh == XLA stage -> conv -> tanh."""
+    from vits_tpu.ops.conv import conv1d
+
+    rng = np.random.default_rng(4)
+    C_in, C_out, stride, k_up = 64, 32, 2, 4
+    T_in = 120
+    lengths = np.array([120, 53], np.int32)
+    up_w, up_b, resblocks = _make_stage(rng, C_in, C_out, k_up, (3, 7, 11))
+    wpost = (rng.standard_normal((7, C_out, 1)) * 0.2).astype(np.float32)
+    x = rng.standard_normal((2, T_in, C_in)).astype(np.float32)
+    x = x * (np.arange(T_in)[None, :] < lengths[:, None]).astype(np.float32)[..., None]
+    pad = (k_up - stride) // 2
+    mask = jnp.asarray(
+        (np.arange(T_in * stride)[None, :] < lengths[:, None] * stride)
+        .astype(np.float32)[..., None])
+
+    stage = xla_stage(x, up_w, up_b, resblocks, stride, pad, mask=mask)
+    h = jnp.asarray(stage)
+    h = jnp.where(h >= 0, h, h * 0.01)
+    wave_ref = np.asarray(
+        jnp.tanh(conv1d(h, jnp.asarray(wpost), None, padding=3)) * mask)[..., 0]
+
+    wave = np.asarray(fused_stage(
+        jnp.asarray(x), jnp.asarray(up_w), jnp.asarray(up_b),
+        stride=stride, up_padding=pad, resblocks=resblocks, slope=SLOPE,
+        tile_t=64, interpret=True, lengths=jnp.asarray(lengths),
+        final_conv=(jnp.asarray(wpost), 3),
+    ))
+    assert wave.shape == (2, T_in * stride)
+    np.testing.assert_allclose(wave, wave_ref, atol=3e-5)
+    assert np.abs(wave[1, 53 * stride:]).max() == 0.0

@@ -98,22 +98,26 @@ def hifigan(
     if mask is not None:
         h = h * mask
 
-    for i, rate in enumerate(config.upsample_rates):
-        kernel_size = config.upsample_kernel_sizes[i]
-        up_w = p[f"upsampler.{i}.weight"]
-        c_in, c_out = h.shape[-1], up_w.shape[-1]
-
-        # Whole-stage fused kernel (leaky + conv-transpose + all resblocks in
-        # one VMEM-resident Pallas program) for the narrow tail stages where
-        # XLA runs at 3-8% MFU; see ops/pallas/stage.py for applicability.
-        stage_fusable = (
+    def _stage_fusable(c_in, c_out, rate):
+        return (
             use_pallas
             and h.dtype == jnp.float32
             and 128 % c_in == 0
             and 128 % c_out == 0
             and (128 // c_out) == rate * (128 // c_in)
         )
-        if stage_fusable:
+
+    n_stages = len(config.upsample_rates)
+    packed_T = None  # logical (B, T, C) time length while h is packed (B,R,128)
+    for i, rate in enumerate(config.upsample_rates):
+        kernel_size = config.upsample_kernel_sizes[i]
+        up_w = p[f"upsampler.{i}.weight"]
+        c_in, c_out = up_w.shape[1], up_w.shape[2]
+
+        # Whole-stage fused kernel (leaky + conv-transpose + all resblocks in
+        # one VMEM-resident Pallas program) for the narrow tail stages where
+        # XLA runs at 3-8% MFU; see ops/pallas/stage.py for applicability.
+        if _stage_fusable(c_in, c_out, rate):
             from vits_tpu.ops.pallas.stage import fused_stage
 
             lengths = None
@@ -131,12 +135,36 @@ def hifigan(
                     w2=jnp.stack([block[f"convs2.{n}.weight"] for n in range(pairs)]),
                     b2=jnp.stack([block[f"convs2.{n}.bias"] for n in range(pairs)]),
                 ))
-            h = fused_stage(
+            is_last = i == n_stages - 1
+            # Chain consecutive fused stages in the PACKED layout (the
+            # unpack/repack reshapes between them are pure relayout cost),
+            # and fold conv_post+tanh into the terminal stage: the kernel
+            # then emits the waveform itself and the stage's (B, T, C)
+            # output never round-trips HBM.
+            next_w = None if is_last else p[f"upsampler.{i + 1}.weight"]
+            chain_next = (
+                not is_last
+                and _stage_fusable(
+                    next_w.shape[1], next_w.shape[2],
+                    config.upsample_rates[i + 1])
+            )
+            final_conv = None
+            if is_last:
+                wpost = p["conv_post.weight"]
+                final_conv = (wpost, (wpost.shape[0] - 1) // 2)
+            out = fused_stage(
                 h, up_w, p[f"upsampler.{i}.bias"],
                 stride=rate, up_padding=(kernel_size - rate) // 2,
                 resblocks=resblocks, slope=slope, lengths=lengths,
                 precision=pallas_precision,
+                packed_in=packed_T, packed_out=chain_next,
+                final_conv=final_conv,
             )
+            if final_conv is not None:
+                return out  # already tanh'd, masked waveform (B, T)
+            T_in = packed_T if packed_T is not None else h.shape[1]
+            packed_T = T_in * rate if chain_next else None
+            h = out
             if mask is not None:
                 mask = jnp.repeat(mask, rate, axis=1)
             continue

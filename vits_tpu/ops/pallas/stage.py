@@ -70,10 +70,37 @@ def _pack_transpose_weights(w, g_in, g_out, stride, pad_eff, ho, hi, c_in, c_out
     return tuple(shift_set), out
 
 
+def _pack_wave_weights(w, g_out, c_out, padding):
+    """(k, C_out, 1) conv_post weights -> packed row-shift matrices.
+
+    Wave sample (row r, slot sigma) draws stage-output step g_out*r + sigma +
+    j - padding = row r + q, slot p where (q, p) = divmod(sigma + j - padding,
+    g_out).  Returns (shifts, (nq, g_out*C_out, g_out)).
+    """
+    k = w.shape[0]
+    entries = []
+    for sigma in range(g_out):
+        for j in range(k):
+            q, p = divmod(sigma + j - padding, g_out)
+            entries.append((q, p, sigma, j))
+    shift_set = sorted({q for q, _, _, _ in entries})
+    index = {q: i for i, q in enumerate(shift_set)}
+    out = jnp.zeros((len(shift_set), g_out * c_out, g_out), jnp.float32)
+    for q, p, sigma, j in entries:
+        out = out.at[index[q], p * c_out : (p + 1) * c_out, sigma].add(
+            w[j, :, 0].astype(jnp.float32)
+        )
+    return tuple(shift_set), out
+
+
 def _stage_kernel(x_hbm, len_ref, wu_ref, bu_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                  wr_ref, out_ref, xwin, sem, *, tile_p, window_in, rows_u,
+                  wr_ref, *rest, tile_p, window_in, rows_u,
                   g_out, c_out, ho, slope, u_shifts, blocks, inv_blocks,
-                  precision=None):
+                  wave=None, precision=None):
+    if wave is None:
+        out_ref, xwin, sem = rest
+    else:
+        wq_ref, wf_ref, xwin, sem = rest
     i = pl.program_id(0)
     b = pl.program_id(1)
 
@@ -101,16 +128,43 @@ def _stage_kernel(x_hbm, len_ref, wu_ref, bu_ref, w1_ref, b1_ref, w2_ref, b2_ref
     xu = jnp.where(slot_mask(rows_u, 0), xu, 0.0)
 
     # --- three resblock pair-chains on the SAME VMEM window --------------- #
+    # With a fused final conv, keep `halo_rows` extra rows on each side of the
+    # tile: the conv's +-padding steps live in the neighbor rows.
+    hw = 0 if wave is None else wave["halo_rows"]
+    keep = tile_p + 2 * hw
     acc = None
     for blk in blocks:
         xb, _, _ = _run_pairs(
             xu, rows_u, 0, blk["pairs"], w1_ref, b1_ref, w2_ref, b2_ref,
             wr_ref, slot_mask, slope, precision,
         )
-        off = blk["align_off"]
-        xb = jax.lax.slice_in_dim(xb, off, off + tile_p, axis=0)
+        off = blk["align_off"] - hw
+        xb = jax.lax.slice_in_dim(xb, off, off + keep, axis=0)
         acc = xb if acc is None else acc + xb
-    out_ref[0] = (acc * inv_blocks).astype(out_ref.dtype)
+    acc = acc * inv_blocks
+
+    if wave is None:
+        out_ref[0] = acc.astype(out_ref.dtype)
+        return
+
+    # --- fused conv_post: leaky(0.01) -> k-tap conv -> tanh -> mask ------- #
+    # acc rows cover tile steps [-hw .. tile_p+hw); wave sample (row r,
+    # slot s) = tanh(sum_q shift_q(leaky(acc)) @ Wq), masked to valid_out.
+    hl = jnp.where(acc >= 0, acc, acc * 0.01)
+    yw = None
+    for qi, q in enumerate(wave["shifts"]):
+        piece = jax.lax.slice_in_dim(hl, q + hw, q + hw + tile_p, axis=0)
+        term = jnp.dot(piece, wq_ref[qi], preferred_element_type=jnp.float32,
+                       precision=precision)
+        yw = term if yw is None else yw + term
+    yw = jnp.tanh(yw)  # (tile_p, g_out)
+    pos = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile_p, g_out), 0) * g_out
+        + jax.lax.broadcasted_iota(jnp.int32, (tile_p, g_out), 1)
+        + g_out * i * tile_p
+    )
+    yw = jnp.where(pos < valid_out, yw, 0.0)
+    wf_ref[0] = yw.astype(wf_ref.dtype)
 
 
 def fused_stage(
@@ -126,9 +180,27 @@ def fused_stage(
     lengths: jax.Array | None = None,  # (B,) valid INPUT steps
     interpret: bool = False,
     precision: str | None = None,  # None=fast bf16 multiplies; "highest"=fp32
+    packed_in: int | None = None,  # logical T_in when x is ALREADY packed (B, R, 128)
+    packed_out: bool = False,  # skip the unpack reshape; return (B, rows, 128)
+    final_conv: tuple | None = None,  # (weight (k, C_out, 1), padding): fuse
+    #   leaky(0.01) -> conv_post -> tanh -> mask and return the WAVEFORM
+    #   (B, T_out) instead of the stage output (terminal stage only).
 ) -> jax.Array:
-    """One fused vocoder stage.  Returns (B, T_in*stride, C_out)."""
-    B, T_in, C_in = x.shape
+    """One fused vocoder stage.
+
+    Returns (B, T_in*stride, C_out) by default; the packed (B, rows, 128)
+    layout with ``packed_out`` (chainable directly into the next fused
+    stage's ``packed_in`` — the layouts coincide because
+    g_in(next) = 128/C_out = g_out(this)); or the final waveform (B, T_out)
+    with ``final_conv``.
+    """
+    if packed_in is not None:
+        B, R_in, lanes = x.shape
+        assert lanes == 128, x.shape
+        T_in = packed_in
+        C_in = up_weight.shape[1]
+    else:
+        B, T_in, C_in = x.shape
     k_up, _, C_out = up_weight.shape
     assert 128 % C_in == 0 and 128 % C_out == 0, (C_in, C_out)
     g_in, g_out = 128 // C_in, 128 // C_out
@@ -139,6 +211,16 @@ def fused_stage(
     # --- resblock metadata over a shared weight pool ----------------------- #
     halos = [total_halo(rb["kernel_size"], tuple(rb["dilations"])) for rb in resblocks]
     ho = max(halos)
+    wave = None
+    if final_conv is not None:
+        wf_w, wf_pad = final_conv
+        k_w = wf_w.shape[0]
+        # conv halo in packed rows; every block must keep that many spare
+        # rows on BOTH sides of its tile slice -> bump the global halo.
+        hw = max(-(-wf_pad // g_out), -(-(k_w - 1 - wf_pad) // g_out))
+        ho += hw * g_out
+        wq_shifts, wq = _pack_wave_weights(wf_w, g_out, C_out, wf_pad)
+        wave = {"halo_rows": hw, "shifts": wq_shifts}
     assert ho % stride == 0 and all((ho - h) % g_out == 0 for h in halos)
 
     blocks = []
@@ -176,6 +258,7 @@ def fused_stage(
 
     # --- upsampler packing -------------------------------------------------- #
     hi = -(-(ho + pad_eff) // stride)  # input-step left margin for the convT
+    hi = -(-hi // g_in) * g_in  # row-aligned so packed input can be row-padded
     u_shifts, wu = _pack_transpose_weights(
         up_weight, g_in, g_out, stride, pad_eff, ho, hi, C_in, C_out
     )
@@ -187,17 +270,25 @@ def fused_stage(
     tile_p = -(-tile_p // 8) * 8
     n_tiles = -(-rows_out_needed // tile_p)
     u_extra = max(b["consumed"] + b["align_off"] for b in blocks)
+    if wave is not None:
+        u_extra += wave["halo_rows"]  # tail rows for the conv_post halo
     rows_u = tile_p + u_extra
     window_in = rows_u + max(u_shifts)
     window_in = -(-window_in // 8) * 8  # sublane-aligned DMA
 
     # input padding: hi steps front; back so every tile's DMA window exists
     in_rows_total = (n_tiles - 1) * tile_p + window_in
-    len_in_padded = g_in * in_rows_total
-    pad_back = len_in_padded - T_in - hi
-    assert pad_back >= 0, (len_in_padded, T_in, hi)
-    xp = jnp.pad(x, ((0, 0), (hi, pad_back), (0, 0)))
-    xp = xp.reshape(B, in_rows_total, g_in * C_in)
+    if packed_in is not None:
+        front_rows = hi // g_in
+        pad_rows = in_rows_total - front_rows - R_in
+        xp = jnp.pad(x, ((0, 0), (front_rows, max(0, pad_rows)), (0, 0)))
+        xp = xp[:, :in_rows_total]
+    else:
+        len_in_padded = g_in * in_rows_total
+        pad_back = len_in_padded - T_in - hi
+        assert pad_back >= 0, (len_in_padded, T_in, hi)
+        xp = jnp.pad(x, ((0, 0), (hi, pad_back), (0, 0)))
+        xp = xp.reshape(B, in_rows_total, g_in * C_in)
 
     if lengths is None:
         lengths = jnp.full((B,), T_in, jnp.int32)
@@ -208,28 +299,39 @@ def fused_stage(
         tile_p=tile_p, window_in=window_in, rows_u=rows_u,
         g_out=g_out, c_out=C_out, ho=ho, slope=slope,
         u_shifts=u_shifts, blocks=tuple(blocks),
-        inv_blocks=1.0 / len(blocks),
+        inv_blocks=1.0 / len(blocks), wave=wave,
         precision=None if precision is None else jax.lax.Precision(precision),
     )
+    vmem_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ] + vmem_specs
+    inputs = [xp, len_out, wu, bu, w1_all, b1_all, w2_all, b2_all, wr_all]
+    if wave is None:
+        out_specs = pl.BlockSpec(
+            (1, tile_p, g_out * C_out), lambda i, b: (b, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (B, n_tiles * tile_p, g_out * C_out), x.dtype)
+    else:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        inputs.append(wq)
+        # (rows, g_out) lanes: Mosaic cannot re-mix sublanes into lanes
+        # in-kernel, so the sample-major flatten happens host-side.
+        out_specs = pl.BlockSpec(
+            (1, tile_p, g_out), lambda i, b: (b, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (B, n_tiles * tile_p, g_out), x.dtype)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles, B),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, tile_p, g_out * C_out), lambda i, b: (b, i, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, n_tiles * tile_p, g_out * C_out), x.dtype),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((window_in, g_in * C_in), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -238,5 +340,9 @@ def fused_stage(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xp, len_out, wu, bu, w1_all, b1_all, w2_all, b2_all, wr_all)
+    )(*inputs)
+    if wave is not None:
+        return out.reshape(B, -1)[:, :T_out]
+    if packed_out:
+        return out
     return out.reshape(B, n_tiles * tile_p * g_out, C_out)[:, :T_out]
