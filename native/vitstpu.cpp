@@ -495,9 +495,10 @@ VT_API const char* vt_engine_error(const VtEngine* e) {
 }
 
 // Synthesize text -> float PCM.  speaker_id < 0 means "no speaker";
-// speaking_rate / noise_scale / noise_scale_duration <= 0 mean "use the
-// checkpoint's configured value".  Returns nullptr on failure (see
-// vt_engine_error).
+// speaking_rate / noise_scale / noise_scale_duration < 0 mean "use the
+// checkpoint's configured value" — 0.0 is a LEGITIMATE noise scale
+// (deterministic synthesis) and is sent through.  Returns nullptr on
+// failure (see vt_engine_error).
 VT_API VtAudio* vt_synthesize(VtEngine* e, const char* text, int32_t speaker_id,
                               int64_t seed, float speaking_rate,
                               float noise_scale, float noise_scale_duration) {
@@ -509,15 +510,15 @@ VT_API VtAudio* vt_synthesize(VtEngine* e, const char* text, int32_t speaker_id,
     if (speaker_id >= 0)
         payload += ", \"speaker_id\": " + std::to_string(speaker_id);
     char num[64];
-    if (speaking_rate > 0) {
+    if (speaking_rate >= 0) {
         std::snprintf(num, sizeof num, ", \"speaking_rate\": %.6f", speaking_rate);
         payload += num;
     }
-    if (noise_scale > 0) {
+    if (noise_scale >= 0) {
         std::snprintf(num, sizeof num, ", \"noise_scale\": %.6f", noise_scale);
         payload += num;
     }
-    if (noise_scale_duration > 0) {
+    if (noise_scale_duration >= 0) {
         std::snprintf(num, sizeof num, ", \"noise_scale_duration\": %.6f",
                       noise_scale_duration);
         payload += num;

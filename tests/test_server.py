@@ -160,3 +160,71 @@ def test_queue_full_returns_429_and_worker_rejects():
     for r in reqs[:3]:
         assert r.done.wait(30)
     worker.stop()
+
+
+def test_requeue_never_blocks_when_queue_full():
+    """Control-mismatched requeue must not block: the worker is the queue's
+    only consumer, so a blocking put() under overload wedges the server
+    permanently (round-2 review finding)."""
+    import time
+    import types
+
+    from vits_tpu.engine.server import BatchingWorker, _Request
+
+    model = types.SimpleNamespace(config=types.SimpleNamespace(sampling_rate=16000))
+    worker = BatchingWorker(model, batch_window_ms=300.0, max_batch=4, max_queue=2)
+    worker.stop()
+    worker._thread.join(timeout=5)
+    assert not worker._thread.is_alive()
+
+    a = _Request(text="a", speaker_id=None, seed=0)
+    b = _Request(text="b", speaker_id=None, seed=0, noise_scale=0.3)
+    c = _Request(text="c", speaker_id=None, seed=0, noise_scale=0.5)
+    d = _Request(text="d", speaker_id=None, seed=0, noise_scale=0.7)
+    worker.queue.put_nowait(a)
+    worker.queue.put_nowait(b)
+
+    result = {}
+
+    def run():
+        result["batch"] = worker._collect()
+
+    t = threading.Thread(target=run)
+    t.start()
+    time.sleep(0.1)  # _collect has consumed a and b by now, window still open
+    for req in (c, d):
+        for _ in range(100):
+            try:
+                worker.queue.put_nowait(req)
+                break
+            except Exception:
+                time.sleep(0.01)
+    t.join(timeout=10)
+    assert not t.is_alive(), "collect deadlocked on requeue"
+    assert [r.text for r in result["batch"]] == ["a"]
+    # b, c fit back in the capacity-2 queue; d was dropped with an error
+    assert d.done.is_set() and d.error is not None
+    assert worker.stats["rejected"] == 1
+
+
+def _engine(tiny_bundle):
+    config, params = tiny_bundle
+    tok = VitsTokenizer(vocab=dict(VOCAB), pad_token="k", unk_token="z")
+    return Synthesizer(config, tok, params, EngineConfig(token_buckets=(32,)))
+
+
+def test_seed_list_length_validated(tiny_bundle):
+    """Engine-level: a seed list not matching the batch raises clearly."""
+    model = _engine(tiny_bundle)
+    with pytest.raises(ValueError, match="seed list length"):
+        model.synthesize_raw(["one", "two"], seed=[1], max_redispatch=0)
+
+
+def test_seeds_differing_above_bit31_differ(tiny_bundle):
+    """64-bit per-row seeds must not alias (old single fold_in truncated
+    to int32, so 5 and 2**33+5 produced identical audio)."""
+    model = _engine(tiny_bundle)
+    lo = model.synthesize_raw("hello", seed=[5], max_redispatch=0)
+    hi = model.synthesize_raw("hello", seed=[2**33 + 5], max_redispatch=0)
+    n = min(len(lo.waveform[0]), len(hi.waveform[0]))
+    assert not np.allclose(lo.waveform[0][:n], hi.waveform[0][:n])

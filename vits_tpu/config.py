@@ -187,9 +187,11 @@ class EngineConfig:
     # Route HiFiGAN resblocks through the fused Pallas kernel.
     # None = auto (enabled on TPU backends), True/False = force.
     use_pallas_vocoder: bool | None = None
-    # Matmul precision inside the Pallas vocoder kernels: None = fast single-
-    # pass bf16 multiplies (fp32 accumulation — same class as XLA's DEFAULT
-    # conv precision), "float32" = 3-pass, "highest" = 6-pass fp32-exact.
+    # Matmul precision inside the Pallas vocoder kernels (jax.lax.Precision
+    # names): None = fast single-pass bf16 multiplies (fp32 accumulation —
+    # same class as XLA's DEFAULT conv precision); "high" = 3-pass bf16x3;
+    # "highest" = 6-pass fp32-exact.  NOTE "float32" is accepted by jax but
+    # aliases HIGHEST (6-pass), not the 3-pass tier.
     pallas_precision: str | None = None
     # Route encoder self-attention through the flash-style fused kernel
     # (ops/pallas/attention.py — no quadratic HBM traffic; the XLA path

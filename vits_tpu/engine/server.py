@@ -113,7 +113,15 @@ class BatchingWorker:
             else:
                 requeue.append(req)
         for req in requeue:
-            self.queue.put(req)
+            try:
+                # Never block here: the worker is the queue's only consumer,
+                # so a blocking put() on a full queue would deadlock the whole
+                # server (handler threads keep it full under overload).
+                self.queue.put_nowait(req)
+            except queue.Full:
+                self.stats["rejected"] += 1
+                req.error = "queue full (control-group requeue)"
+                req.done.set()
         return batch
 
     def _loop(self) -> None:
@@ -245,7 +253,11 @@ def main(argv=None) -> int:
     import vits_tpu
 
     model = vits_tpu.load_model(args.model)
-    model.warmup(batch_sizes=(1,), token_buckets=model.engine.token_buckets[:2])
+    # per_row_seeds: the worker always passes seed LISTS, whose (B, 2) key
+    # layout is a different program signature from scalar-seed warmup —
+    # without it the first real request pays a cold compile.
+    model.warmup(batch_sizes=(1,), token_buckets=model.engine.token_buckets[:2],
+                 per_row_seeds=True)
     server, worker = serve(
         model, args.port, args.host, args.batch_window_ms, args.max_batch,
         args.max_queue, args.request_timeout_s,

@@ -275,10 +275,22 @@ class Synthesizer:
         else:
             # Per-row seeds folded into row keys: rows with different seeds
             # still share ONE dispatch (the server's mixed-seed batching).
+            given = np.asarray(seed, np.int64)
+            if given.shape != (len(texts),):
+                raise ValueError(
+                    f"seed list length {given.shape} != number of texts "
+                    f"({len(texts)})")
             seeds = np.zeros((ids.shape[0],), np.int64)
-            seeds[: len(seed)] = np.asarray(seed, np.int64)
+            seeds[: len(texts)] = given
+            # Fold 64-bit seeds as two 32-bit halves: a single fold_in would
+            # truncate to int32 and alias seeds differing above bit 31.
+            lo = jnp.asarray(seeds & 0xFFFFFFFF, jnp.uint32)
+            hi = jnp.asarray((seeds >> 32) & 0xFFFFFFFF, jnp.uint32)
             base = jax.random.PRNGKey(0)
-            rng = jax.vmap(lambda s: jax.random.fold_in(base, s))(jnp.asarray(seeds))
+            rng = jax.vmap(
+                lambda lo_, hi_: jax.random.fold_in(
+                    jax.random.fold_in(base, lo_), hi_)
+            )(lo, hi)
         controls = self._controls(noise_scale, noise_scale_duration, speaking_rate)
         num_frames = self.engine.frame_bucket(t_bucket)
         device_out = self._dispatch(ids, mask, num_frames, rng, spk, controls)
@@ -349,15 +361,29 @@ class Synthesizer:
         return self.collect(pending, max_redispatch=max_redispatch)
 
     # ------------------------------------------------------------------ #
-    def warmup(self, batch_sizes=(1,), token_buckets=None):
-        """Pre-compile the common dispatch shapes."""
+    def warmup(self, batch_sizes=(1,), token_buckets=None, per_row_seeds=False):
+        """Pre-compile the common dispatch shapes.
+
+        ``per_row_seeds`` compiles the (B, 2) per-row key layout used when
+        ``seed`` is passed as a LIST (the server always does) — a different
+        program signature from the scalar-seed (2,) key layout.
+        """
         buckets = token_buckets or self.engine.token_buckets
         for bs in batch_sizes:
             for tb in buckets:
                 ids = np.zeros((bs, tb), np.int32)
                 mask = np.zeros((bs, tb), np.float32)
                 mask[:, 0] = 1.0
+                if per_row_seeds:
+                    base = jax.random.PRNGKey(0)
+                    zeros = jnp.zeros((bs,), jnp.uint32)
+                    rng = jax.vmap(
+                        lambda lo_, hi_: jax.random.fold_in(
+                            jax.random.fold_in(base, lo_), hi_)
+                    )(zeros, zeros)
+                else:
+                    rng = jax.random.PRNGKey(0)
                 out = self._dispatch(
-                    ids, mask, self.engine.frame_bucket(tb), jax.random.PRNGKey(0), None
+                    ids, mask, self.engine.frame_bucket(tb), rng, None
                 )
                 jax.block_until_ready(out)

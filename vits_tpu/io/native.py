@@ -300,15 +300,20 @@ class NativeEngineClient:
         noise_scale: float | None = None,
         noise_scale_duration: float | None = None,
     ) -> tuple[np.ndarray, int]:
-        """Returns (float32 PCM, sample_rate)."""
+        """Returns (float32 PCM, sample_rate).
+
+        ``None`` controls mean "use the checkpoint's configured value" and
+        travel as the C ABI's negative sentinel; explicit 0.0 (deterministic
+        synthesis) is honored and sent through.
+        """
         audio = self._lib.vt_synthesize(
             self._handle,
             text.encode("utf-8"),
             -1 if speaker_id is None else int(speaker_id),
             int(seed),
-            0.0 if speaking_rate is None else float(speaking_rate),
-            0.0 if noise_scale is None else float(noise_scale),
-            0.0 if noise_scale_duration is None else float(noise_scale_duration),
+            -1.0 if speaking_rate is None else float(speaking_rate),
+            -1.0 if noise_scale is None else float(noise_scale),
+            -1.0 if noise_scale_duration is None else float(noise_scale_duration),
         )
         if not audio:
             err = self._lib.vt_engine_error(self._handle)

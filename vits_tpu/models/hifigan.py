@@ -117,6 +117,10 @@ def hifigan(
         # Whole-stage fused kernel (leaky + conv-transpose + all resblocks in
         # one VMEM-resident Pallas program) for the narrow tail stages where
         # XLA runs at 3-8% MFU; see ops/pallas/stage.py for applicability.
+        # Known cost: the weight stacking/packing below is traced over params
+        # and so re-executes per dispatch — device-lane profiling shows it in
+        # the sub-0.2 ms small-op categories; hoisting it to load time is a
+        # round-3 cleanup (BENCH_DETAIL device_profile).
         if _stage_fusable(c_in, c_out, rate):
             from vits_tpu.ops.pallas.stage import fused_stage
 
