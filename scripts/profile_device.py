@@ -28,7 +28,7 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-def capture(tokens, frames, use_pallas, use_attention):
+def capture(tokens, frames, use_pallas, use_attention, batch=1):
     import jax
     import jax.numpy as jnp
 
@@ -40,8 +40,8 @@ def capture(tokens, frames, use_pallas, use_attention):
     params = {k: jnp.asarray(v) for k, v in
               random_params(config, keep_training=False).items()}
     rng = np.random.default_rng(0)
-    ids = jnp.asarray(rng.integers(1, config.vocab_size, (1, tokens)), jnp.int32)
-    mask = jnp.ones((1, tokens), jnp.float32)
+    ids = jnp.asarray(rng.integers(1, config.vocab_size, (batch, tokens)), jnp.int32)
+    mask = jnp.ones((batch, tokens), jnp.float32)
     key = jax.random.PRNGKey(0)
 
     fn = jax.jit(lambda i, m, k: synthesize(
@@ -87,16 +87,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tokens", type=int, default=512)
     ap.add_argument("--frames", type=int, default=1024)
+    ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument("--no-attention", action="store_true")
     ap.add_argument("--update-detail", action="store_true")
     args = ap.parse_args()
 
     tmp, config = capture(args.tokens, args.frames,
-                          not args.no_pallas, not args.no_attention)
+                          not args.no_pallas, not args.no_attention,
+                          batch=args.batch)
     module_ms, cat, pallas = parse(tmp)
 
-    audio_s = args.frames * config.total_upsample / config.sampling_rate
+    audio_s = args.batch * args.frames * config.total_upsample / config.sampling_rate
     print(f"device time (one dispatch): {module_ms:.3f} ms  "
           f"-> on-chip capacity xRT {audio_s / (module_ms / 1e3):.0f}x")
     print("\nper-category device ms:")

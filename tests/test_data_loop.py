@@ -94,6 +94,10 @@ def test_train_loop_smoke(corpus, tmp_path, tiny_hf_model, monkeypatch):
     )
     assert any("step 2" in l for l in logs)
     assert os.path.isdir(os.path.join(out_dir, "step_00000002"))
+    # liveness: the loop beat the watchdog (train/watchdog.py)
+    from vits_tpu.train.watchdog import read_heartbeats
+    hb = read_heartbeats(out_dir)
+    assert 0 in hb and hb[0]["step"] == 2
 
     # resume continues from step 2
     logs2 = []

@@ -32,6 +32,8 @@ def train(
     model_parallel: int = 1,
     log=print,
     metrics_hook=None,
+    stall_seconds: float = 600.0,
+    stall_abort: bool = False,
 ):
     import jax
     import jax.numpy as jnp
@@ -161,7 +163,14 @@ def train(
                 ),
             )
 
+        from vits_tpu.train.watchdog import Watchdog
+
+        watchdog = Watchdog(
+            out_dir, stall_seconds=stall_seconds,
+            process_index=jax.process_index(), abort=stall_abort, log=log,
+        )
         for step_idx, batch in zip(range(start_step + 1, steps + 1), batches):
+            watchdog.beat(step_idx)
             key, sub = jax.random.split(key)
             batch = pad_rows(batch)
             batch = TrainBatch(*[
@@ -212,6 +221,8 @@ def train(
                     **{k: np.asarray(v) for k, v in jax.device_get(ema_params).items()},
                 )
                 log(f"checkpointed step {step_idx}")
+
+        watchdog.stop()
 
     return gen_params
 
