@@ -175,3 +175,27 @@ def test_fused_stage_final_conv():
     assert wave.shape == (2, T_in * stride)
     np.testing.assert_allclose(wave, wave_ref, atol=3e-5)
     assert np.abs(wave[1, 53 * stride:]).max() == 0.0
+
+
+def test_pack_stage_arrays_matches_in_trace():
+    """Load-time packed arrays == the in-trace materialization path."""
+    from vits_tpu.ops.pallas.stage import pack_stage_arrays
+
+    rng = np.random.default_rng(5)
+    up_w, up_b, resblocks = _make_stage(rng, 64, 32, 4, (3, 7))
+    wpost = (rng.standard_normal((7, 32, 1)) * 0.2).astype(np.float32)
+    lengths = np.array([100], np.int32)
+    x = rng.standard_normal((1, 100, 64)).astype(np.float32)
+    kw = dict(stride=2, up_padding=1, resblocks=resblocks, slope=SLOPE,
+              tile_t=64, interpret=True, lengths=jnp.asarray(lengths),
+              final_conv=(jnp.asarray(wpost), 3))
+
+    ref = np.asarray(fused_stage(
+        jnp.asarray(x), jnp.asarray(up_w), jnp.asarray(up_b), **kw))
+    arrays = pack_stage_arrays(
+        jnp.asarray(up_w), jnp.asarray(up_b), resblocks,
+        stride=2, up_padding=1, final_conv=(jnp.asarray(wpost), 3))
+    got = np.asarray(fused_stage(
+        jnp.asarray(x), jnp.asarray(up_w), jnp.asarray(up_b),
+        arrays=arrays, **kw))
+    np.testing.assert_array_equal(got, ref)

@@ -89,6 +89,18 @@ class Synthesizer:
             return jax.device_put(arr, device) if device is not None else arr
 
         self.params = {k: _place(v) for k, v in params.items()}
+        use_pallas = self.engine.use_pallas_vocoder
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas and dtype == jnp.float32:
+            # Pack the fused-stage vocoder weights ONCE at load: in-trace
+            # packing would re-run the shift-matrix scatters every dispatch
+            # (models/hifigan.py::precompute_vocoder_packs).
+            from vits_tpu.models.hifigan import precompute_vocoder_packs
+
+            self.params.update(
+                {k: _place(v) for k, v in
+                 precompute_vocoder_packs(self.params, config).items()})
         # Observability counters (the reference's verbose/log machinery,
         # vits.cpp:1234-1239, reimagined as structured stats).
         # compiled_shapes counts DISTINCT dispatch signatures (batch, tokens,

@@ -77,6 +77,63 @@ def _fused_resblock_call(p, h, mask, kernel_size, dilations, slope, precision=No
     )
 
 
+def _stage_resblock_dicts(p: ParamView, config: VitsConfig, i: int):
+    num_kernels = len(config.resblock_kernel_sizes)
+    resblocks = []
+    for j in range(num_kernels):
+        block = p.sub(f"resblocks.{i * num_kernels + j}")
+        pairs = len(config.resblock_dilation_sizes[j])
+        resblocks.append(dict(
+            kernel_size=config.resblock_kernel_sizes[j],
+            dilations=tuple(config.resblock_dilation_sizes[j]),
+            w1=jnp.stack([block[f"convs1.{n}.weight"] for n in range(pairs)]),
+            b1=jnp.stack([block[f"convs1.{n}.bias"] for n in range(pairs)]),
+            w2=jnp.stack([block[f"convs2.{n}.weight"] for n in range(pairs)]),
+            b2=jnp.stack([block[f"convs2.{n}.bias"] for n in range(pairs)]),
+        ))
+    return resblocks
+
+
+PACK_PREFIX = "__vocoder_pack__"
+
+
+def precompute_vocoder_packs(params: dict, config: VitsConfig) -> dict:
+    """Load-time packing of the stage-fusable vocoder weights.
+
+    Returns flat ``{__vocoder_pack__.{stage}.{name}: array}`` entries to merge
+    into the params dict; hifigan picks them up automatically and skips the
+    per-dispatch shift-matrix scatters (see ops/pallas/stage.py::
+    pack_stage_arrays).  Call OUTSIDE jit on concrete fp32 params.  Keys are
+    engine-internal — exporters operate on loader-level params and never see
+    them.
+    """
+    from vits_tpu.ops.pallas.stage import pack_stage_arrays
+
+    p = ParamView(params).sub("decoder")
+    packs: dict = {}
+    n_stages = len(config.upsample_rates)
+    for i, rate in enumerate(config.upsample_rates):
+        up_w = p[f"upsampler.{i}.weight"]
+        c_in, c_out = up_w.shape[1], up_w.shape[2]
+        if not (128 % c_in == 0 and 128 % c_out == 0
+                and (128 // c_out) == rate * (128 // c_in)):
+            continue
+        final_conv = None
+        if i == n_stages - 1:
+            wpost = p["conv_post.weight"]
+            final_conv = (wpost, (wpost.shape[0] - 1) // 2)
+        arrays = pack_stage_arrays(
+            up_w, p[f"upsampler.{i}.bias"],
+            _stage_resblock_dicts(p, config, i),
+            stride=rate,
+            up_padding=(config.upsample_kernel_sizes[i] - rate) // 2,
+            final_conv=final_conv,
+        )
+        for name, arr in arrays.items():
+            packs[f"{PACK_PREFIX}.{i}.{name}"] = arr
+    return packs
+
+
 def hifigan(
     params: ParamView,
     config: VitsConfig,
@@ -127,18 +184,6 @@ def hifigan(
             lengths = None
             if mask is not None:
                 lengths = jnp.sum(mask[..., 0], axis=1).astype(jnp.int32)
-            resblocks = []
-            for j in range(num_kernels):
-                block = p.sub(f"resblocks.{i * num_kernels + j}")
-                pairs = len(config.resblock_dilation_sizes[j])
-                resblocks.append(dict(
-                    kernel_size=config.resblock_kernel_sizes[j],
-                    dilations=tuple(config.resblock_dilation_sizes[j]),
-                    w1=jnp.stack([block[f"convs1.{n}.weight"] for n in range(pairs)]),
-                    b1=jnp.stack([block[f"convs1.{n}.bias"] for n in range(pairs)]),
-                    w2=jnp.stack([block[f"convs2.{n}.weight"] for n in range(pairs)]),
-                    b2=jnp.stack([block[f"convs2.{n}.bias"] for n in range(pairs)]),
-                ))
             is_last = i == n_stages - 1
             # Chain consecutive fused stages in the PACKED layout (the
             # unpack/repack reshapes between them are pure relayout cost),
@@ -156,13 +201,21 @@ def hifigan(
             if is_last:
                 wpost = p["conv_post.weight"]
                 final_conv = (wpost, (wpost.shape[0] - 1) // 2)
+            # Load-time packed weights (precompute_vocoder_packs merged into
+            # the params dict) skip the per-dispatch shift-matrix scatters.
+            arrays = None
+            names = ["wu", "bu", "w1_all", "b1_all", "w2_all", "b2_all",
+                     "wr_all"] + (["wq"] if final_conv is not None else [])
+            if f"{PACK_PREFIX}.{i}.wu" in params:
+                arrays = {n: params[f"{PACK_PREFIX}.{i}.{n}"] for n in names}
             out = fused_stage(
                 h, up_w, p[f"upsampler.{i}.bias"],
                 stride=rate, up_padding=(kernel_size - rate) // 2,
-                resblocks=resblocks, slope=slope, lengths=lengths,
+                resblocks=_stage_resblock_dicts(p, config, i),
+                slope=slope, lengths=lengths,
                 precision=pallas_precision,
                 packed_in=packed_T, packed_out=chain_next,
-                final_conv=final_conv,
+                arrays=arrays, final_conv=final_conv,
             )
             if final_conv is not None:
                 return out  # already tanh'd, masked waveform (B, T)

@@ -140,23 +140,42 @@ def _kernel(x_hbm, len_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, xwin, sem,
 # --------------------------------------------------------------------------- #
 
 
-def _pack_shift_weights(w: jax.Array, dilation: int, g: int):
-    """(k, C, C) conv weights -> (shifts, (n, gC, gC)) packed shift matrices.
+def _shift_plan(k: int, dilation: int, g: int):
+    """Static placement plan for packed shift matrices.
 
-    Traceable (w may be a jit tracer); the placement pattern is static so the
-    scatter unrolls to constant-index updates.
+    Returns (shift_set, entries) with entries = (mat_idx, src_slot p,
+    dst_slot j, tap) — everything needed to materialize later.
     """
-    k, C = w.shape[0], w.shape[1]
     shift_set = sorted({(j + tap * dilation) // g for j in range(g) for tap in range(k)})
     index = {q: i for i, q in enumerate(shift_set)}
-    out = jnp.zeros((len(shift_set), g * C, g * C), jnp.float32)
+    entries = []
     for tap in range(k):
         for j in range(g):
             q, p = divmod(j + tap * dilation, g)
-            out = out.at[index[q], p * C : (p + 1) * C, j * C : (j + 1) * C].add(
-                w[tap].astype(jnp.float32)
-            )
-    return tuple(shift_set), out
+            entries.append((index[q], p, j, tap))
+    return tuple(shift_set), tuple(entries)
+
+
+def _materialize_shift(w: jax.Array, entries, n_mats: int, g: int):
+    """Build the (n, gC, gC) packed matrices from a plan.
+
+    Traceable (w may be a jit tracer) — but callers should materialize ONCE
+    at load time where possible (pack_stage_arrays): in-trace the scatter
+    unrolls into per-dispatch update ops.
+    """
+    C = w.shape[1]
+    out = jnp.zeros((n_mats, g * C, g * C), jnp.float32)
+    for m, p, j, tap in entries:
+        out = out.at[m, p * C : (p + 1) * C, j * C : (j + 1) * C].add(
+            w[tap].astype(jnp.float32)
+        )
+    return out
+
+
+def _pack_shift_weights(w: jax.Array, dilation: int, g: int):
+    """(k, C, C) conv weights -> (shifts, (n, gC, gC)) packed shift matrices."""
+    shifts, entries = _shift_plan(w.shape[0], dilation, g)
+    return shifts, _materialize_shift(w, entries, len(shifts), g)
 
 
 def _pack_residual_weights(offset: int, g: int, C: int):
@@ -249,24 +268,20 @@ def _packed_kernel(x_hbm, len_ref, w1_ref, b1_ref, w2_ref, b2_ref, wr_ref,
     out_ref[0] = jax.lax.slice_in_dim(x, 0, tile_p, axis=0).astype(out_ref.dtype)
 
 
-def _build_pairs(w1, b1, w2, b2, kernel_size, dilations, g, C,
-                 idx_base=0, w1_base=0, w2_base=0, wr_base=0):
-    """Packed weights + static metadata for one resblock's pair sequence.
+def _pairs_plan(kernel_size, dilations, g, C,
+                idx_base=0, w1_base=0, w2_base=0, wr_base=0):
+    """Static metadata + materialization plan for one resblock's pairs.
 
     ``*_base`` offsets let a caller concatenate several resblocks' weights
     into shared arrays (the fused whole-stage kernel does this)."""
     k = kernel_size
-    b1_packed = jnp.tile(b1.astype(jnp.float32), (1, g))
-    b2_packed = jnp.tile(b2.astype(jnp.float32), (1, g))
-
-    pairs = []
-    w1_mats, w2_mats, wr_mats = [], [], []
+    pairs, plan = [], []
     n1 = n2 = nr = 0
     for idx, d in enumerate(dilations):
         h1 = d * (k - 1) // 2
         h2 = (k - 1) // 2
-        s1, m1 = _pack_shift_weights(w1[idx], d, g)
-        s2, m2 = _pack_shift_weights(w2[idx], 1, g)
+        s1, e1 = _shift_plan(k, d, g)
+        s2, e2 = _shift_plan(k, 1, g)
         off = h1 + h2
         q1max, q2max = max(s1), max(s2)
         entry = {
@@ -275,26 +290,55 @@ def _build_pairs(w1, b1, w2, b2, kernel_size, dilations, g, C,
             "s2": s2, "w2_start": w2_base + n2,
             "q1max": q1max,
         }
-        w1_mats.append(m1)
-        w2_mats.append(m2)
-        n1 += m1.shape[0]
-        n2 += m2.shape[0]
+        step = {"pair": idx, "e1": e1, "n1": len(s1), "e2": e2, "n2": len(s2),
+                "res": None}
+        n1 += len(s1)
+        n2 += len(s2)
         if off % g == 0:
             entry["res_slice"] = off // g
             entry["sr"] = ()
             entry["wr_start"] = 0
             qr = off // g
         else:
-            sr, mr = _pack_residual_weights(off, g, C)
+            sr, _ = _pack_residual_weights(off, g, C)
             entry["res_slice"] = None
             entry["sr"] = sr
             entry["wr_start"] = wr_base + nr
-            wr_mats.append(jnp.asarray(mr))
-            nr += mr.shape[0]
+            step["res"] = off
+            nr += len(sr)
             qr = max(sr)
         entry["consumed"] = max(q1max + q2max, qr)
         pairs.append(entry)
-    return pairs, w1_mats, w2_mats, wr_mats, b1_packed, b2_packed
+        plan.append(step)
+    return pairs, plan
+
+
+def _materialize_pairs(plan, w1, b1, w2, b2, g, C):
+    """Build the packed weight matrices a _pairs_plan describes.
+
+    Traceable, but callers should run this ONCE at load time where possible
+    (see ops/pallas/stage.py::pack_stage_arrays)."""
+    b1_packed = jnp.tile(b1.astype(jnp.float32), (1, g))
+    b2_packed = jnp.tile(b2.astype(jnp.float32), (1, g))
+    w1_mats, w2_mats, wr_mats = [], [], []
+    for step in plan:
+        i = step["pair"]
+        w1_mats.append(_materialize_shift(w1[i], step["e1"], step["n1"], g))
+        w2_mats.append(_materialize_shift(w2[i], step["e2"], step["n2"], g))
+        if step["res"] is not None:
+            _, mr = _pack_residual_weights(step["res"], g, C)
+            wr_mats.append(jnp.asarray(mr))
+    return w1_mats, w2_mats, wr_mats, b1_packed, b2_packed
+
+
+def _build_pairs(w1, b1, w2, b2, kernel_size, dilations, g, C,
+                 idx_base=0, w1_base=0, w2_base=0, wr_base=0):
+    """Plan + materialize in one go (in-trace fallback path)."""
+    pairs, plan = _pairs_plan(kernel_size, dilations, g, C,
+                              idx_base, w1_base, w2_base, wr_base)
+    w1_mats, w2_mats, wr_mats, b1p, b2p = _materialize_pairs(
+        plan, w1, b1, w2, b2, g, C)
+    return pairs, w1_mats, w2_mats, wr_mats, b1p, b2p
 
 
 def _fused_resblock_packed(x, w1, b1, w2, b2, *, kernel_size, dilations, slope,

@@ -35,21 +35,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vits_tpu.ops.pallas.resblock import (
-    _build_pairs,
+    _materialize_pairs,
+    _pairs_plan,
     _run_pairs,
     _shift_matmul,
     total_halo,
 )
 
 
-def _pack_transpose_weights(w, g_in, g_out, stride, pad_eff, ho, hi, c_in, c_out):
-    """(k, C_in, C_out) transpose-conv weights -> packed shift matrices.
+def _transpose_plan(k, g_in, g_out, stride, pad_eff, ho, hi):
+    """Static plan for packed transpose-conv shift matrices.
 
-    Returns (shifts, (n, g_in*C_in, g_out*C_out)).  Entry for output slot
-    sigma, tap j: m = sigma + j - ho - pad_eff; contributes iff m % s == 0,
-    from relative input step m//s + hi -> packed row shift q, slot p.
+    Entry for output slot sigma, tap j: m = sigma + j - ho - pad_eff;
+    contributes iff m % s == 0, from relative input step m//s + hi ->
+    packed row shift q, slot p.
     """
-    k = w.shape[0]
     entries = []
     for sigma in range(g_out):
         for j in range(k):
@@ -62,22 +62,26 @@ def _pack_transpose_weights(w, g_in, g_out, stride, pad_eff, ho, hi, c_in, c_out
             entries.append((q, p, sigma, j))
     shift_set = sorted({q for q, _, _, _ in entries})
     index = {q: i for i, q in enumerate(shift_set)}
-    out = jnp.zeros((len(shift_set), g_in * c_in, g_out * c_out), jnp.float32)
-    for q, p, sigma, j in entries:
+    return tuple(shift_set), tuple(
+        (index[q], p, sigma, j) for q, p, sigma, j in entries)
+
+
+def _materialize_transpose(w, entries, n_mats, g_in, g_out, c_in, c_out):
+    out = jnp.zeros((n_mats, g_in * c_in, g_out * c_out), jnp.float32)
+    for m, p, sigma, j in entries:
         out = out.at[
-            index[q], p * c_in : (p + 1) * c_in, sigma * c_out : (sigma + 1) * c_out
+            m, p * c_in : (p + 1) * c_in, sigma * c_out : (sigma + 1) * c_out
         ].add(w[j].astype(jnp.float32))
-    return tuple(shift_set), out
+    return out
 
 
-def _pack_wave_weights(w, g_out, c_out, padding):
-    """(k, C_out, 1) conv_post weights -> packed row-shift matrices.
+def _wave_plan(k, g_out, padding):
+    """Static plan for the fused conv_post row-shift matrices.
 
     Wave sample (row r, slot sigma) draws stage-output step g_out*r + sigma +
     j - padding = row r + q, slot p where (q, p) = divmod(sigma + j - padding,
-    g_out).  Returns (shifts, (nq, g_out*C_out, g_out)).
+    g_out).
     """
-    k = w.shape[0]
     entries = []
     for sigma in range(g_out):
         for j in range(k):
@@ -85,12 +89,17 @@ def _pack_wave_weights(w, g_out, c_out, padding):
             entries.append((q, p, sigma, j))
     shift_set = sorted({q for q, _, _, _ in entries})
     index = {q: i for i, q in enumerate(shift_set)}
-    out = jnp.zeros((len(shift_set), g_out * c_out, g_out), jnp.float32)
-    for q, p, sigma, j in entries:
-        out = out.at[index[q], p * c_out : (p + 1) * c_out, sigma].add(
+    return tuple(shift_set), tuple(
+        (index[q], p, sigma, j) for q, p, sigma, j in entries)
+
+
+def _materialize_wave(w, entries, n_mats, g_out, c_out):
+    out = jnp.zeros((n_mats, g_out * c_out, g_out), jnp.float32)
+    for m, p, sigma, j in entries:
+        out = out.at[m, p * c_out : (p + 1) * c_out, sigma].add(
             w[j, :, 0].astype(jnp.float32)
         )
-    return tuple(shift_set), out
+    return out
 
 
 def _stage_kernel(x_hbm, len_ref, wu_ref, bu_ref, w1_ref, b1_ref, w2_ref, b2_ref,
@@ -167,6 +176,116 @@ def _stage_kernel(x_hbm, len_ref, wu_ref, bu_ref, w1_ref, b1_ref, w2_ref, b2_ref
     wf_ref[0] = yw.astype(wf_ref.dtype)
 
 
+def _stage_plan(rb_meta, k_up, stride, up_padding, C_in, C_out, final=None):
+    """All static structure for one fused stage.
+
+    ``rb_meta``: tuple of (kernel_size, dilations) per resblock; ``final``:
+    (k_w, padding) when conv_post is fused.  Deterministic in these inputs,
+    so load-time packing (pack_stage_arrays) and trace-time use agree.
+    """
+    g_in, g_out = 128 // C_in, 128 // C_out
+    pad_eff = k_up - 1 - up_padding
+    halos = [total_halo(k, tuple(ds)) for k, ds in rb_meta]
+    ho = max(halos)
+    wave = None
+    if final is not None:
+        k_w, wf_pad = final
+        # conv halo in packed rows; every block must keep that many spare
+        # rows on BOTH sides of its tile slice -> bump the global halo.
+        hw = max(-(-wf_pad // g_out), -(-(k_w - 1 - wf_pad) // g_out))
+        ho += hw * g_out
+        wq_shifts, wq_entries = _wave_plan(k_w, g_out, wf_pad)
+        wave = {"halo_rows": hw, "shifts": wq_shifts, "entries": wq_entries}
+    assert ho % stride == 0 and all((ho - h) % g_out == 0 for h in halos)
+
+    blocks, plans = [], []
+    n1 = n2 = nr = npairs = 0
+    for (k, ds), h_k in zip(rb_meta, halos):
+        pairs, plan = _pairs_plan(
+            k, tuple(ds), g_out, C_out,
+            idx_base=npairs, w1_base=n1, w2_base=n2, wr_base=nr,
+        )
+        for p_, st in zip(pairs, plan):
+            n1 += st["n1"]
+            n2 += st["n2"]
+            if st["res"] is not None:
+                nr += len(p_["sr"])
+        npairs += len(pairs)
+        plans.append(plan)
+        blocks.append({
+            "pairs": pairs,
+            "consumed": sum(p["consumed"] for p in pairs),
+            "align_off": (ho - h_k) // g_out,
+        })
+
+    hi = -(-(ho + pad_eff) // stride)  # input-step left margin for the convT
+    hi = -(-hi // g_in) * g_in  # row-aligned so packed input can be row-padded
+    u_shifts, u_entries = _transpose_plan(
+        k_up, g_in, g_out, stride, pad_eff, ho, hi)
+    return {
+        "g_in": g_in, "g_out": g_out, "ho": ho, "hi": hi,
+        "blocks": blocks, "plans": plans, "wave": wave,
+        "u_shifts": u_shifts, "u_entries": u_entries,
+        "C_in": C_in, "C_out": C_out,
+    }
+
+
+def _materialize_stage(meta, up_weight, up_bias, resblocks, final_w=None):
+    """Build every packed weight array a _stage_plan describes.
+
+    Traceable, but run it ONCE at load time where possible — in-trace the
+    scatters re-execute on every dispatch (pack_stage_arrays is the
+    load-time entry; models/hifigan.py precomputes via it).
+    """
+    g_out, C_in, C_out = meta["g_out"], meta["C_in"], meta["C_out"]
+    w1_mats, w2_mats, wr_mats, b1_rows, b2_rows = [], [], [], [], []
+    for rb, plan in zip(resblocks, meta["plans"]):
+        m1, m2, mr, b1p, b2p = _materialize_pairs(
+            plan, rb["w1"], rb["b1"], rb["w2"], rb["b2"], g_out, C_out)
+        w1_mats += m1
+        w2_mats += m2
+        wr_mats += mr
+        b1_rows.extend(b1p)
+        b2_rows.extend(b2p)
+    out = {
+        "w1_all": jnp.concatenate(w1_mats, axis=0),
+        "w2_all": jnp.concatenate(w2_mats, axis=0),
+        "wr_all": (jnp.concatenate(wr_mats, axis=0) if wr_mats
+                   else jnp.zeros((1, 128, 128), jnp.float32)),
+        "b1_all": jnp.stack(b1_rows),
+        "b2_all": jnp.stack(b2_rows),
+        "wu": _materialize_transpose(
+            up_weight, meta["u_entries"], len(meta["u_shifts"]),
+            meta["g_in"], g_out, C_in, C_out),
+        "bu": jnp.tile(up_bias.astype(jnp.float32), g_out)[None, :],
+    }
+    if meta["wave"] is not None:
+        out["wq"] = _materialize_wave(
+            final_w, meta["wave"]["entries"],
+            len(meta["wave"]["shifts"]), g_out, C_out)
+    return out
+
+
+def pack_stage_arrays(
+    up_weight, up_bias, resblocks, *, stride, up_padding, final_conv=None,
+) -> dict:
+    """Load-time packing: the arrays fused_stage(arrays=...) consumes.
+
+    Call OUTSIDE jit (eagerly, on concrete weights) so the shift-matrix
+    scatters run once instead of on every dispatch.
+    """
+    k_up, C_in, C_out = up_weight.shape
+    meta = _stage_plan(
+        tuple((rb["kernel_size"], tuple(rb["dilations"])) for rb in resblocks),
+        k_up, stride, up_padding, C_in, C_out,
+        final=(None if final_conv is None
+               else (final_conv[0].shape[0], final_conv[1])),
+    )
+    return _materialize_stage(
+        meta, up_weight, up_bias, resblocks,
+        None if final_conv is None else final_conv[0])
+
+
 def fused_stage(
     x: jax.Array,  # (B, T_in, C_in) stage input (pre-leaky)
     up_weight: jax.Array,  # (k_up, C_in, C_out) spatially-reversed (loader layout)
@@ -182,6 +301,7 @@ def fused_stage(
     precision: str | None = None,  # None=fast bf16 multiplies; "highest"=fp32
     packed_in: int | None = None,  # logical T_in when x is ALREADY packed (B, R, 128)
     packed_out: bool = False,  # skip the unpack reshape; return (B, rows, 128)
+    arrays: dict | None = None,  # pre-packed weights from pack_stage_arrays
     final_conv: tuple | None = None,  # (weight (k, C_out, 1), padding): fuse
     #   leaky(0.01) -> conv_post -> tanh -> mask and return the WAVEFORM
     #   (B, T_out) instead of the stage output (terminal stage only).
@@ -208,61 +328,23 @@ def fused_stage(
     T_out = T_in * stride
     pad_eff = k_up - 1 - up_padding  # input-dilated-conv padding (ops/conv.py)
 
-    # --- resblock metadata over a shared weight pool ----------------------- #
-    halos = [total_halo(rb["kernel_size"], tuple(rb["dilations"])) for rb in resblocks]
-    ho = max(halos)
-    wave = None
-    if final_conv is not None:
-        wf_w, wf_pad = final_conv
-        k_w = wf_w.shape[0]
-        # conv halo in packed rows; every block must keep that many spare
-        # rows on BOTH sides of its tile slice -> bump the global halo.
-        hw = max(-(-wf_pad // g_out), -(-(k_w - 1 - wf_pad) // g_out))
-        ho += hw * g_out
-        wq_shifts, wq = _pack_wave_weights(wf_w, g_out, C_out, wf_pad)
-        wave = {"halo_rows": hw, "shifts": wq_shifts}
-    assert ho % stride == 0 and all((ho - h) % g_out == 0 for h in halos)
-
-    blocks = []
-    w1_mats, w2_mats, wr_mats, b1_rows, b2_rows = [], [], [], [], []
-    n1 = n2 = nr = 0
-    for rb, h_k in zip(resblocks, halos):
-        pairs, m1, m2, mr, b1p, b2p = _build_pairs(
-            rb["w1"], rb["b1"], rb["w2"], rb["b2"], rb["kernel_size"],
-            tuple(rb["dilations"]), g_out, C_out,
-            idx_base=len(b1_rows), w1_base=n1, w2_base=n2, wr_base=nr,
-        )
-        w1_mats += m1
-        w2_mats += m2
-        wr_mats += mr
-        n1 = sum(m.shape[0] for m in w1_mats)
-        n2 = sum(m.shape[0] for m in w2_mats)
-        nr = sum(m.shape[0] for m in wr_mats)
-        b1_rows.extend(b1p)
-        b2_rows.extend(b2p)
-        blocks.append({
-            "pairs": pairs,
-            "consumed": sum(p["consumed"] for p in pairs),
-            "align_off": (ho - h_k) // g_out,
-        })
-
-    w1_all = jnp.concatenate(w1_mats, axis=0)
-    w2_all = jnp.concatenate(w2_mats, axis=0)
-    wr_all = (
-        jnp.concatenate(wr_mats, axis=0)
-        if wr_mats
-        else jnp.zeros((1, 128, 128), jnp.float32)
+    meta = _stage_plan(
+        tuple((rb["kernel_size"], tuple(rb["dilations"])) for rb in resblocks),
+        k_up, stride, up_padding, C_in, C_out,
+        final=(None if final_conv is None
+               else (final_conv[0].shape[0], final_conv[1])),
     )
-    b1_all = jnp.stack(b1_rows)
-    b2_all = jnp.stack(b2_rows)
-
-    # --- upsampler packing -------------------------------------------------- #
-    hi = -(-(ho + pad_eff) // stride)  # input-step left margin for the convT
-    hi = -(-hi // g_in) * g_in  # row-aligned so packed input can be row-padded
-    u_shifts, wu = _pack_transpose_weights(
-        up_weight, g_in, g_out, stride, pad_eff, ho, hi, C_in, C_out
-    )
-    bu = jnp.tile(up_bias.astype(jnp.float32), g_out)[None, :]
+    ho, hi = meta["ho"], meta["hi"]
+    blocks, wave, u_shifts = meta["blocks"], meta["wave"], meta["u_shifts"]
+    if arrays is None:
+        arrays = _materialize_stage(
+            meta, up_weight, up_bias, resblocks,
+            None if final_conv is None else final_conv[0])
+    wu, bu = arrays["wu"], arrays["bu"]
+    w1_all, b1_all = arrays["w1_all"], arrays["b1_all"]
+    w2_all, b2_all = arrays["w2_all"], arrays["b2_all"]
+    wr_all = arrays["wr_all"]
+    wq = arrays.get("wq")
 
     # --- tiling ------------------------------------------------------------- #
     rows_out_needed = -(-T_out // g_out)
