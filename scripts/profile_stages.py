@@ -5,6 +5,11 @@ fp32 and bf16, at the bench shape (512 tokens / 1024 frames).  The TPU-native
 counterpart of the reference's per-graph wall-clock logging (vits.cpp:1117-1125)
 and bench_simd kernel shootout.
 
+CAVEAT: through this environment's tunneled TPU, wall-clock numbers carry
+per-dispatch RPC latency and block_until_ready does NOT wait for device
+completion — use scripts/profile_device.py (XLA profiler device lane) for
+authoritative on-chip times (BENCH_DETAIL.json "measurement_methodology").
+
 Usage: python scripts/profile_stages.py [--batch 1] [--dtype float32]
 """
 

@@ -19,7 +19,9 @@ import jax
 # The axon TPU plugin (sitecustomize) force-sets jax_platforms="axon,cpu" via
 # jax.config.update, which overrides the JAX_PLATFORMS env var — override it
 # back before any backend initializes so tests run on the 8 virtual CPU devices.
-jax.config.update("jax_platforms", "cpu")
+# VITS_TPU_TESTS=1 keeps the real chip for tests/test_tpu_compiled.py.
+if not os.environ.get("VITS_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
