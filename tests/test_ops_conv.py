@@ -40,6 +40,7 @@ def test_depthwise_matches_torch(rng):
 @pytest.mark.parametrize("Cin,Cout,k,s,method", [
     (6, 4, 16, 8, "dilated"), (6, 4, 16, 8, "matmul"),
     (8, 4, 4, 2, "matmul"), (6, 4, 5, 2, "dilated"),
+    (6, 4, 16, 8, "phases"), (8, 4, 4, 2, "phases"), (5, 3, 8, 4, "phases"),
 ])
 def test_conv_transpose_matches_torch(rng, Cin, Cout, k, s, method):
     """Both formulations pinned against torch."""

@@ -227,12 +227,22 @@ def hifigan(
             continue
 
         h = leaky_relu(h, slope)
+        # per-phase matmul formulation when the HiFiGAN geometry allows it
+        # (k % s == 0, symmetric padding): clean layouts vs the lhs-dilated
+        # conv lowering (see ops/conv.py::_conv_transpose_phases)
+        method = (
+            "phases"
+            if kernel_size % rate == 0
+            and 2 * ((kernel_size - rate) // 2) == kernel_size - rate
+            else "dilated"
+        )
         h = conv_transpose1d(
             h,
             up_w,
             p[f"upsampler.{i}.bias"],
             stride=rate,
             padding=(kernel_size - rate) // 2,
+            method=method,
         )
         if mask is not None:
             # Upsample the frame mask: each valid frame covers `rate` samples.

@@ -96,6 +96,12 @@ def conv_transpose1d(
         if k % stride != 0:
             raise ValueError("matmul conv-transpose needs k % stride == 0")
         return _conv_transpose_matmul(x, kernel, bias, stride, padding)
+    if method == "phases":
+        if k % stride != 0 or 2 * padding != k - stride:
+            raise ValueError(
+                "phases conv-transpose needs k % stride == 0 and "
+                "2*padding == k - stride")
+        return _conv_transpose_phases(x, kernel, bias, stride, padding)
     pad = k - 1 - padding
     out = lax.conv_general_dilated(
         x,
@@ -129,6 +135,39 @@ def _conv_transpose_matmul(x, kernel, bias, stride, padding):
     n_out_full = (T - 1) * s + k
     y = y.reshape(B, (T + r - 1) * s, cout)[:, :n_out_full]
     y = y[:, padding : n_out_full - padding]
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def _conv_transpose_phases(x, kernel, bias, stride, padding):
+    """Per-phase matmul transposed conv (k % stride == 0, 2*padding == k-stride).
+
+    Output sample v = t*stride + sigma is a sum of r = k/stride shifted
+    matmuls: y[v] = sum_g x[t-g] @ W_torch[:, :, g*stride + sigma].  Unlike
+    ``_conv_transpose_matmul`` there is NO scatter/overlap-add — phases stack
+    into (T, stride, C_out) and flatten with a free contiguous reshape, so
+    XLA keeps clean layouts (the lhs-dilated conv lowering picks a
+    T(1,128)-tiled output that costs ~0.4 ms/stage at the bench shape).
+    """
+    k, _cin, cout = kernel.shape
+    s = stride
+    r = k // s
+    B, T, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (r - 1, r), (0, 0)))
+    T2 = T + r
+    phases = []
+    for sigma in range(s):
+        acc = None
+        for g in range(r):
+            # loader layout is spatially reversed: torch tap tau = kernel[k-1-tau]
+            w = kernel[k - 1 - (g * s + sigma)]
+            piece = jax.lax.slice_in_dim(xp, r - 1 - g, r - 1 - g + T2, axis=1)
+            term = piece @ w
+            acc = term if acc is None else acc + term
+        phases.append(acc)
+    y = jnp.stack(phases, axis=2).reshape(B, T2 * s, cout)
+    y = y[:, padding : padding + T * s]
     if bias is not None:
         y = y + bias
     return y
