@@ -131,3 +131,44 @@ def test_packed_resblock_masks_like_module():
         tile_t=16, lengths=jnp.asarray(lengths), interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), expected, atol=1e-5)
+
+
+def test_fused_resblock_trio_matches_mean():
+    """One-kernel trio (+mean) == mean of three fused_resblock calls.
+
+    fused_resblock itself is pinned against the XLA module math above, so
+    the mean of its outputs (with identical per-row length masking) is the
+    module-equivalent reference.
+    """
+    import jax.numpy as jnp
+
+    from vits_tpu.ops.pallas.resblock import fused_resblock, fused_resblock_trio
+
+    rng = np.random.default_rng(7)
+    C, T = 128, 96
+    lengths = np.array([96, 37], np.int32)
+    x = rng.standard_normal((2, T, C)).astype(np.float32)
+    x = x * (np.arange(T)[None, :] < lengths[:, None]).astype(np.float32)[..., None]
+    blocks = []
+    for k in (3, 7, 11):
+        blocks.append(dict(
+            kernel_size=k, dilations=(1, 3, 5),
+            w1=jnp.asarray(rng.standard_normal((3, k, C, C)) * 0.05, jnp.float32),
+            b1=jnp.asarray(rng.standard_normal((3, C)) * 0.05, jnp.float32),
+            w2=jnp.asarray(rng.standard_normal((3, k, C, C)) * 0.05, jnp.float32),
+            b2=jnp.asarray(rng.standard_normal((3, C)) * 0.05, jnp.float32),
+        ))
+
+    lens = jnp.asarray(lengths)
+    ref = sum(
+        np.asarray(fused_resblock(
+            jnp.asarray(x), b["w1"], b["b1"], b["w2"], b["b2"],
+            kernel_size=b["kernel_size"], dilations=(1, 3, 5), slope=0.1,
+            tile_t=32, lengths=lens, interpret=True))
+        for b in blocks
+    ) / len(blocks)
+    got = np.asarray(fused_resblock_trio(
+        jnp.asarray(x), blocks, slope=0.1, tile_t=32,
+        lengths=lens, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    assert np.abs(got[1, 37:]).max() == 0.0

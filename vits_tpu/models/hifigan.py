@@ -249,16 +249,31 @@ def hifigan(
             mask = jnp.repeat(mask, rate, axis=1)
             h = h * mask
 
-        # Fused Pallas path.  Wide stages (C % 128 == 0) use the plain fused
-        # kernel; narrow stages (C = 64/32) use the time-packed variant that
-        # folds 128/C timesteps into the lane dim — full MXU lanes where XLA
-        # ran at 8%/2.6% MFU (BENCH_DETAIL.json).
+        # Fused Pallas path.  Wide stages (C % 128 == 0) run ALL resblocks +
+        # the mean in ONE kernel (fused_resblock_trio: 1 read + 1 write of
+        # the activation instead of 3 DMAs + 3 writes + an XLA mean); narrow
+        # stages (C = 64/32) use the time-packed per-resblock variant that
+        # folds 128/C timesteps into the lane dim.
         channels = h.shape[-1]
+        wide = channels % 128 == 0
         fuse = (
             use_pallas
-            and (channels % 128 == 0 or 128 % channels == 0)
+            and (wide or 128 % channels == 0)
             and h.dtype == jnp.float32
         )
+
+        if fuse and wide:
+            from vits_tpu.ops.pallas.resblock import fused_resblock_trio
+
+            lengths = None
+            if mask is not None:
+                lengths = jnp.sum(mask[..., 0], axis=1).astype(jnp.int32)
+            h = fused_resblock_trio(
+                h, _stage_resblock_dicts(p, config, i),
+                slope=slope, tile_t=2048, lengths=lengths,
+                precision=pallas_precision,
+            )
+            continue
 
         res_state = None
         for j in range(num_kernels):

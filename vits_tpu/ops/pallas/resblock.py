@@ -127,6 +127,155 @@ def _kernel(x_hbm, len_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, xwin, sem,
 
 
 # --------------------------------------------------------------------------- #
+# Whole-trio variant for wide stages (C % 128 == 0): the HiFiGAN stage runs
+# THREE resblocks on the same input and averages them.  Running them as three
+# pallas_calls costs 3 window DMAs + 3 output writes + an XLA mean (2 more
+# passes); this kernel runs all three chains on ONE VMEM-resident window and
+# writes the mean — 1 read + 1 write of the activation per stage.
+# --------------------------------------------------------------------------- #
+
+
+def _trio_kernel(x_hbm, len_ref, *rest, tile_t, blocks_meta, slope, window,
+                 HO, inv_blocks, precision=None):
+    n = len(blocks_meta)
+    w_refs = rest[: 4 * n]  # (w1, b1, w2, b2) per block
+    out_ref, xwin, sem = rest[4 * n :]
+    i = pl.program_id(0)
+    b = pl.program_id(1)
+
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * tile_t, window), :], xwin, sem
+    )
+    dma.start()
+    dma.wait()
+
+    valid_len = len_ref[b, 0]
+    acc = None
+    for blk_i, meta in enumerate(blocks_meta):
+        w1_ref, b1_ref, w2_ref, b2_ref = w_refs[4 * blk_i : 4 * blk_i + 4]
+        k = meta["kernel_size"]
+        x = xwin[:]
+        cur_len = window
+        offset = 0
+        for pair, dilation in enumerate(meta["dilations"]):
+            h1 = dilation * (k - 1) // 2
+            h2 = (k - 1) // 2
+            mid_len = cur_len - 2 * h1
+            out_len = mid_len - 2 * h2
+
+            h = jnp.where(x >= 0, x, x * slope)
+            acc1 = None
+            for tap in range(k):
+                piece = jax.lax.slice_in_dim(
+                    h, tap * dilation, tap * dilation + mid_len, axis=0)
+                term = jnp.dot(piece, w1_ref[pair, tap],
+                               preferred_element_type=jnp.float32,
+                               precision=precision)
+                acc1 = term if acc1 is None else acc1 + term
+            y1 = acc1 + b1_ref[pair][None, :].astype(jnp.float32)
+            g1 = (
+                jax.lax.broadcasted_iota(jnp.int32, (mid_len, 1), 0)
+                + (i * tile_t + offset + h1)
+            )
+            in_seq1 = (g1 >= HO) & (g1 < HO + valid_len)
+            y1 = jnp.where(in_seq1, y1, 0.0)
+
+            h2v = jnp.where(y1 >= 0, y1, y1 * slope)
+            acc2 = None
+            for tap in range(k):
+                piece = jax.lax.slice_in_dim(h2v, tap, tap + out_len, axis=0)
+                term = jnp.dot(piece, w2_ref[pair, tap],
+                               preferred_element_type=jnp.float32,
+                               precision=precision)
+                acc2 = term if acc2 is None else acc2 + term
+            y2 = acc2 + b2_ref[pair][None, :]
+
+            local = h1 + h2
+            offset += local
+            x = jax.lax.slice_in_dim(x, local, local + out_len, axis=0) + y2
+            cur_len = out_len
+            g = (
+                jax.lax.broadcasted_iota(jnp.int32, (cur_len, 1), 0)
+                + (i * tile_t + offset)
+            )
+            in_seq = (g >= HO) & (g < HO + valid_len)
+            x = jnp.where(in_seq, x, 0.0)
+
+        # window covers [i*tile - HO, ...); this block consumed meta["halo"]
+        # per side — slice its centered tile.
+        xb = jax.lax.slice_in_dim(
+            x, HO - meta["halo"], HO - meta["halo"] + tile_t, axis=0)
+        acc = xb if acc is None else acc + xb
+    out_ref[0] = (acc * inv_blocks).astype(out_ref.dtype)
+
+
+def fused_resblock_trio(
+    x: jax.Array,  # (B, T, C) UNpadded, C % 128 == 0
+    blocks: Sequence[dict],  # per block: {w1, b1, w2, b2, kernel_size, dilations}
+    *,
+    slope: float,
+    tile_t: int = 2048,
+    lengths: jax.Array | None = None,
+    interpret: bool = False,
+    precision: str | None = None,
+) -> jax.Array:
+    """mean_j resblock_j(x) in ONE kernel (wide stages).  Bit-matches the
+    mean of ``xla_resblock`` outputs; pinned by tests/test_pallas_resblock."""
+    B, T, C = x.shape
+    assert C % 128 == 0, C
+    metas = []
+    for blk in blocks:
+        halo = total_halo(blk["kernel_size"], tuple(blk["dilations"]))
+        metas.append({
+            "kernel_size": blk["kernel_size"],
+            "dilations": tuple(blk["dilations"]),
+            "halo": halo,
+        })
+    HO = max(m["halo"] for m in metas)
+
+    tile_t = min(tile_t, max(8, T))
+    n_tiles = math.ceil(T / tile_t)
+    t_padded = n_tiles * tile_t
+    window = tile_t + 2 * HO
+
+    if lengths is None:
+        lengths = jnp.full((B,), T, jnp.int32)
+    lengths2 = lengths.astype(jnp.int32).reshape(B, 1)
+    xp = jnp.pad(x, ((0, 0), (HO, HO + (t_padded - T)), (0, 0)))
+
+    kernel = functools.partial(
+        _trio_kernel,
+        tile_t=tile_t, blocks_meta=tuple(metas), slope=slope,
+        window=window, HO=HO, inv_blocks=1.0 / len(blocks),
+        precision=None if precision is None else jax.lax.Precision(precision),
+    )
+    w_inputs = []
+    for blk in blocks:
+        w_inputs += [blk["w1"], blk["b1"], blk["w2"], blk["b2"]]
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, B),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (4 * len(blocks)),
+        out_specs=pl.BlockSpec(
+            (1, tile_t, C), lambda i, b: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, t_padded, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((window, C), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp, lengths2, *w_inputs)
+    return out[:, :T]
+
+
+# --------------------------------------------------------------------------- #
 # Time-packed variant: channels C < 128 waste MXU lanes (C=64 runs at 8% MFU,
 # C=32 at 2.6% — BENCH_DETAIL.json), and Mosaic rejects HBM slices whose lane
 # dim isn't 128-aligned.  Packing g = 128/C consecutive timesteps into one
