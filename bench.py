@@ -55,13 +55,22 @@ def main() -> int:
 
     ggml_path = os.environ.get("VITS_BENCH_CHECKPOINT", "")
     compute_dtype = os.environ.get("VITS_BENCH_DTYPE", "float32")
-    # ONE static shape: every compile goes through the (slow) remote-compile
-    # tunnel, so the bench uses a single 512-token / 1024-frame program and
-    # never escalates.  All compute in that shape is real vocoder work, and
-    # audio seconds are counted from the model's own predicted lengths.
+    # Right-sized buckets: sentences tokenize to ~120-350 tokens, so a single
+    # 512-token program would spend (and TRANSFER) 1.5-4x more than needed
+    # per utterance.  All bucket programs compile during warmup (excluded
+    # from timing); audio seconds are counted from the model's own predicted
+    # lengths either way.  VITS_BENCH_BUCKETS=512 restores the one-bucket
+    # variant.
+    buckets = tuple(
+        int(b) for b in os.environ.get("VITS_BENCH_BUCKETS", "128,256,512").split(",")
+    )
+    # frames_per_token 2.5: MMS-shaped weights predict ~2.2 frames/token, so
+    # 2.0 capacity would truncate utterances near a bucket boundary (the
+    # engine's ladder re-dispatch is disabled here to keep one shape per
+    # bucket).
     engine_config = EngineConfig(
-        token_buckets=(512,),
-        frames_per_token=2.0,
+        token_buckets=buckets,
+        frames_per_token=2.5,
         compute_dtype=compute_dtype,
     )
 
@@ -77,7 +86,8 @@ def main() -> int:
 
     rate = model.config.sampling_rate
 
-    # Warm-up compiles the single dispatch shape (excluded from timing).
+    # Warm-up compiles every bucket's dispatch shape (excluded from timing).
+    model.warmup(batch_sizes=(1,))
     warm = model.synthesize_raw(SENTENCES[0], seed=0, max_redispatch=0)
     np.asarray(warm.waveform)
 
