@@ -64,60 +64,83 @@ def main() -> int:
     buckets = tuple(
         int(b) for b in os.environ.get("VITS_BENCH_BUCKETS", "128,256,512").split(",")
     )
-    # frames_per_token 2.5: MMS-shaped weights predict ~2.2 frames/token, so
-    # 2.0 capacity would truncate utterances near a bucket boundary (the
-    # engine's ladder re-dispatch is disabled here to keep one shape per
-    # bucket).
+    # frames_per_token rides the EngineConfig default (2.5 — the measured
+    # MMS operating point; defaults and benches agree since round 3).  The
+    # ladder re-dispatch is disabled below to keep one shape per bucket.
     engine_config = EngineConfig(
         token_buckets=buckets,
-        frames_per_token=2.5,
         compute_dtype=compute_dtype,
     )
 
+    # VITS_BENCH_DP=N: data-parallel serving over N chips (one utterance per
+    # chip per dispatch; aggregate xRT).  Default 0 = single chip.
+    dp = int(os.environ.get("VITS_BENCH_DP", "0"))
+    mesh = None
+    if dp > 1:
+        from vits_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=dp, model=1, devices=jax.devices()[:dp])
+
     if ggml_path and os.path.exists(ggml_path) and os.path.getsize(ggml_path) > 10_000:
-        model = Synthesizer.load(ggml_path, engine_config)
+        model = Synthesizer.load(ggml_path, engine_config, mesh=mesh)
     else:
         config = VitsConfig()  # MMS-TTS-eng architecture
         params = random_params(config, seed=0, keep_training=False)
         vocab = {c: i for i, c in enumerate(
             "kzyuvdheswm' ablcfgijnopqrtx0123456789_-")}
         tokenizer = VitsTokenizer(vocab=vocab, pad_token="k", unk_token="z")
-        model = Synthesizer(config, tokenizer, params, engine_config)
+        model = Synthesizer(config, tokenizer, params, engine_config, mesh=mesh)
 
     rate = model.config.sampling_rate
 
     # Warm-up compiles every bucket's dispatch shape (excluded from timing).
-    model.warmup(batch_sizes=(1,))
+    model.warmup(batch_sizes=(max(1, dp),))
     warm = model.synthesize_raw(SENTENCES[0], seed=0, max_redispatch=0)
     np.asarray(warm.waveform)
 
     n_iters = int(os.environ.get("VITS_BENCH_ITERS", "24"))
     depth = max(1, int(os.environ.get("VITS_BENCH_DEPTH", "4")))
-    audio_before = model.stats["audio_seconds"]
     from collections import deque
 
-    inflight = deque()
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        inflight.append(model.submit(SENTENCES[i % len(SENTENCES)], seed=i))
-        if len(inflight) >= depth:
+    group = max(1, dp)  # utterances per dispatch: one per data-parallel chip
+
+    def timed_loop(loop_depth: int) -> float:
+        """xRT of the synthesis loop with ``loop_depth`` dispatches in flight."""
+        audio_before = model.stats["audio_seconds"]
+        inflight = deque()
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            texts = [SENTENCES[(i * group + j) % len(SENTENCES)]
+                     for j in range(group)]
+            inflight.append(model.submit(
+                texts if group > 1 else texts[0], seed=i))
+            if len(inflight) >= loop_depth:
+                out = model.collect(inflight.popleft(), max_redispatch=0)
+                assert out.waveform.dtype == np.float32
+        while inflight:
             out = model.collect(inflight.popleft(), max_redispatch=0)
             assert out.waveform.dtype == np.float32
-    while inflight:
-        out = model.collect(inflight.popleft(), max_redispatch=0)
-        assert out.waveform.dtype == np.float32
-    wall = time.perf_counter() - t0
-    # audio seconds tracked by the engine from the single device_get its
-    # dispatch already performs — no extra readbacks inside the timed window.
-    audio_sec = model.stats["audio_seconds"] - audio_before
+        wall = time.perf_counter() - t0
+        # audio seconds tracked by the engine from the single device_get its
+        # dispatch already performs — no extra readbacks in the timed window.
+        return (model.stats["audio_seconds"] - audio_before) / wall
 
-    xrt = audio_sec / wall
+    # Both operating points every run, self-describing (ADVICE round 2):
+    # the pipelined number is the serving throughput, the depth-1 number is
+    # the strict sequential latency variant (tunnel RTT billed per utterance).
+    xrt = timed_loop(depth)
+    xrt_seq = xrt if depth == 1 else timed_loop(1)
     result = {
         "metric": "xRT_single_utterance",
         "value": round(xrt, 2),
         "unit": "audio_sec/wall_sec/chip",
         "vs_baseline": round(xrt / 100.0, 3),
+        "depth": depth,
+        "xrt_depth1": round(xrt_seq, 2),
     }
+    if dp > 1:
+        result["metric"] = "xRT_aggregate"
+        result["dp"] = dp
     print(json.dumps(result))
     return 0
 

@@ -495,10 +495,14 @@ VT_API const char* vt_engine_error(const VtEngine* e) {
 }
 
 // Synthesize text -> float PCM.  speaker_id < 0 means "no speaker";
-// speaking_rate / noise_scale / noise_scale_duration < 0 mean "use the
-// checkpoint's configured value" — 0.0 is a LEGITIMATE noise scale
-// (deterministic synthesis) and is sent through.  Returns nullptr on
-// failure (see vt_engine_error).
+// noise_scale / noise_scale_duration < 0 mean "use the checkpoint's
+// configured value" — 0.0 is a LEGITIMATE noise scale (deterministic
+// synthesis) and is sent through.  speaking_rate must be STRICTLY positive
+// to be honored (<= 0, including the old 0.0 "use default" sentinel, falls
+// back to the config value: the engine computes length_scale = 1/rate, so a
+// literal 0.0 would mean infinite durations).  ABI note vs the pre-round-2
+// sentinel: only the noise scales changed meaning at 0.0; speaking_rate==0.0
+// still means "use default".  Returns nullptr on failure (vt_engine_error).
 VT_API VtAudio* vt_synthesize(VtEngine* e, const char* text, int32_t speaker_id,
                               int64_t seed, float speaking_rate,
                               float noise_scale, float noise_scale_duration) {
@@ -510,7 +514,7 @@ VT_API VtAudio* vt_synthesize(VtEngine* e, const char* text, int32_t speaker_id,
     if (speaker_id >= 0)
         payload += ", \"speaker_id\": " + std::to_string(speaker_id);
     char num[64];
-    if (speaking_rate >= 0) {
+    if (speaking_rate > 0) {
         std::snprintf(num, sizeof num, ", \"speaking_rate\": %.6f", speaking_rate);
         payload += num;
     }

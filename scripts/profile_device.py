@@ -28,7 +28,8 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-def capture(tokens, frames, use_pallas, use_attention, batch=1):
+def capture(tokens, frames, use_pallas, use_attention, batch=1,
+            value_dtype="bfloat16", weight_format=None):
     import jax
     import jax.numpy as jnp
 
@@ -37,16 +38,27 @@ def capture(tokens, frames, use_pallas, use_attention, batch=1):
     from vits_tpu.models.vits import synthesize
 
     config = VitsConfig()
-    params = {k: jnp.asarray(v) for k, v in
-              random_params(config, keep_training=False).items()}
+    params = random_params(config, keep_training=False)
+    if use_pallas:
+        # mirror the engine's load path: packed vocoder weights in the
+        # serving weight format (Synthesizer.__init__)
+        from vits_tpu.models.hifigan import precompute_vocoder_packs
+
+        if weight_format is None:
+            weight_format = value_dtype
+        params.update(precompute_vocoder_packs(
+            params, config, weight_format=weight_format))
+    params = {k: jnp.asarray(v) for k, v in params.items()}
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(1, config.vocab_size, (batch, tokens)), jnp.int32)
     mask = jnp.ones((batch, tokens), jnp.float32)
     key = jax.random.PRNGKey(0)
 
+    vd = None if value_dtype == "float32" else value_dtype
     fn = jax.jit(lambda i, m, k: synthesize(
         params, config, i, m, frames, rng=k,
-        use_pallas=use_pallas, use_pallas_attention=use_attention).waveform)
+        use_pallas=use_pallas, use_pallas_attention=use_attention,
+        pallas_value_dtype=vd).waveform)
     # warm (compile) with a REAL fetch so the device is quiesced
     np.asarray(fn(ids, mask, key)).sum()
 
@@ -91,11 +103,18 @@ def main():
     ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument("--no-attention", action="store_true")
     ap.add_argument("--update-detail", action="store_true")
+    ap.add_argument("--value-dtype", default="bfloat16",
+                    choices=("float32", "bfloat16"),
+                    help="kernel VMEM value dtype (engine default: bfloat16)")
+    ap.add_argument("--weight-format", default=None,
+                    choices=(None, "float32", "bfloat16", "int8"),
+                    help="packed-weight format (default: follow value dtype)")
     args = ap.parse_args()
 
     tmp, config = capture(args.tokens, args.frames,
                           not args.no_pallas, not args.no_attention,
-                          batch=args.batch)
+                          batch=args.batch, value_dtype=args.value_dtype,
+                          weight_format=args.weight_format)
     module_ms, cat, pallas = parse(tmp)
 
     audio_s = args.batch * args.frames * config.total_upsample / config.sampling_rate

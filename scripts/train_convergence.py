@@ -56,6 +56,9 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--disc-lr", type=float, default=None,
+                    help="discriminator learning rate (default: --lr); a "
+                         "lower value rebalances a saturating discriminator")
     ap.add_argument("--utts", type=int, default=64)
     ap.add_argument("--out", default="docs/convergence")
     ap.add_argument("--corpus", default="", help="reuse an existing corpus dir")
@@ -93,6 +96,7 @@ def main() -> int:
     train(
         corpus, ckpt, run_dir,
         steps=args.steps, batch_size=args.batch_size, learning_rate=args.lr,
+        disc_learning_rate=args.disc_lr,
         segment_frames=args.segment_frames,
         checkpoint_every=min(max(args.steps // 2, 500), args.steps),
         log_every=min(25, args.steps),

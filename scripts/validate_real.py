@@ -27,6 +27,8 @@ import json
 import os
 import sys
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import numpy as np
 
 # the reference CLI's demo phrase (/root/reference/test/main.cpp:64)
@@ -84,7 +86,14 @@ def main(argv=None) -> int:
     report: dict = {"model": args.model, "text": args.text, "checks": {}}
 
     print(f"loading {args.model} (network or HF cache required)...", flush=True)
-    hf_model = VitsModel.from_pretrained(args.model)
+    try:
+        hf_model = VitsModel.from_pretrained(args.model)
+    except OSError as exc:
+        print(f"BLOCKED: cannot fetch {args.model} — no network/HF cache in "
+              f"this environment ({type(exc).__name__}). This closer runs on "
+              f"first contact with a networked environment (VERDICT item: "
+              f"real-checkpoint validation).", flush=True)
+        return 2
     hf_model.eval()
     hf_tok = AutoTokenizer.from_pretrained(args.model)
 

@@ -171,3 +171,41 @@ def test_submit_collect_pipelined_matches_sequential(engine_model):
     for a, out in zip(seq, piped):
         b = out.waveform[0, : out.lengths[0]]
         np.testing.assert_array_equal(a, b)
+
+
+def test_default_operating_point_no_repeat_redispatch(tiny_bundle):
+    """The DEFAULT EngineConfig must not keep tripping the overflow ladder.
+
+    Round 2 measured MMS-shaped weights predicting ~2.2 frames/token while
+    the default capacity was 2.0 — every default-config user paid the
+    re-dispatch penalty on EVERY utterance while the benches quietly
+    overrode 2.5.  The default is now the measured point (2.5, bench.py rides
+    it unmodified) AND the engine adapts: an overflow raises the working
+    frames/token, so any checkpoint pays the ladder at most once per rate
+    regime — this tiny fixture predicts >2.5 frames/token, exercising exactly
+    that path."""
+    config, params = tiny_bundle
+    assert EngineConfig().frames_per_token == 2.5  # bench.py relies on this
+    tok = VitsTokenizer(vocab=dict(VOCAB), pad_token="k", unk_token="z")
+    model = Synthesizer(config, tok, params, EngineConfig(token_buckets=(32, 64)))
+    texts = ("hello sad dame", "a much much longer sentence with many words he said")
+    for text in texts:
+        model.synthesize(text, seed=0)
+    settled = model.stats["redispatches"]
+    for text in texts:  # same traffic again: capacity has adapted
+        model.synthesize(text, seed=0)
+    assert model.stats["redispatches"] == settled
+
+
+def test_adaptive_capacity_off_still_ladders(tiny_bundle):
+    """adaptive_capacity=False preserves the pure-ladder behavior."""
+    config, params = tiny_bundle
+    tok = VitsTokenizer(vocab=dict(VOCAB), pad_token="k", unk_token="z")
+    eng = EngineConfig(token_buckets=(32,), frames_per_token=0.125,
+                       adaptive_capacity=False)
+    model = Synthesizer(config, tok, params, eng)
+    model.synthesize("hello sad dame", seed=0)
+    assert model.stats["redispatches"] > 0
+    assert model._frames_per_token == 0.125  # untouched
+    model.synthesize("hello sad dame", seed=0)
+    assert model.stats["redispatches"] >= 2  # ladders again every time

@@ -172,3 +172,83 @@ def test_fused_resblock_trio_matches_mean():
         lengths=lens, interpret=True))
     np.testing.assert_allclose(got, ref, atol=2e-5)
     assert np.abs(got[1, 37:]).max() == 0.0
+
+
+# --------------------------------------------------------------------------- #
+# Round-3 serving formats: bf16 VMEM values and int8 trio weights
+# --------------------------------------------------------------------------- #
+
+import jax.numpy as jnp  # noqa: E402
+
+
+def _make_trio(rng, C, ks):
+    blocks = []
+    for k in ks:
+        blocks.append(dict(
+            kernel_size=k, dilations=(1, 3, 5),
+            w1=(rng.standard_normal((3, k, C, C)) * 0.1).astype(np.float32),
+            b1=(rng.standard_normal((3, C)) * 0.1).astype(np.float32),
+            w2=(rng.standard_normal((3, k, C, C)) * 0.1).astype(np.float32),
+            b2=(rng.standard_normal((3, C)) * 0.1).astype(np.float32),
+        ))
+    return blocks
+
+
+def _trio_ref(x, blocks):
+    out = None
+    for blk in blocks:
+        y = xla_resblock(
+            x,
+            ([blk["w1"][i] for i in range(3)], [blk["b1"][i] for i in range(3)],
+             [blk["w2"][i] for i in range(3)], [blk["b2"][i] for i in range(3)]),
+            blk["kernel_size"], blk["dilations"], 0.1)
+        out = y if out is None else out + y
+    return np.asarray(out) / len(blocks)
+
+
+def test_trio_bf16_values_close():
+    from vits_tpu.ops.pallas.resblock import fused_resblock_trio
+
+    rng = np.random.default_rng(20)
+    C = 128
+    blocks = _make_trio(rng, C, (3, 7))
+    x = rng.standard_normal((1, 64, C)).astype(np.float32)
+    ref = _trio_ref(x, blocks)
+    got = np.asarray(fused_resblock_trio(
+        jnp.asarray(x), blocks, slope=0.1, tile_t=32, interpret=True,
+        value_dtype=jnp.bfloat16))
+    scale = max(1.0, float(np.abs(ref).max()))
+    np.testing.assert_allclose(got / scale, ref / scale, atol=0.03)
+
+
+def test_trio_int8_weights():
+    """int8 trio weights + accumulator dequant == fp32 trio over the SAME
+    per-out-channel dequantized weights (tight), and within quantization
+    error of the unquantized trio (loose sanity)."""
+    from vits_tpu.models.hifigan import _quantize_conv_stack
+    from vits_tpu.ops.pallas.resblock import fused_resblock_trio
+
+    rng = np.random.default_rng(21)
+    C = 128
+    blocks = _make_trio(rng, C, (3, 7))
+    x = rng.standard_normal((2, 64, C)).astype(np.float32)
+    ref = np.asarray(fused_resblock_trio(
+        jnp.asarray(x), blocks, slope=0.1, tile_t=32, interpret=True))
+
+    qblocks, dblocks = [], []
+    for blk in blocks:
+        w1q, s1 = _quantize_conv_stack(jnp.asarray(blk["w1"]))
+        w2q, s2 = _quantize_conv_stack(jnp.asarray(blk["w2"]))
+        assert w1q.dtype == jnp.int8 and s1.shape == (3, C)
+        qblocks.append({**blk, "w1": w1q, "w2": w2q, "s1": s1, "s2": s2})
+        dblocks.append({
+            **blk,
+            "w1": np.asarray(w1q, np.float32) * np.asarray(s1)[:, None, None, :],
+            "w2": np.asarray(w2q, np.float32) * np.asarray(s2)[:, None, None, :],
+        })
+    got = np.asarray(fused_resblock_trio(
+        jnp.asarray(x), qblocks, slope=0.1, tile_t=32, interpret=True))
+    ref_q = np.asarray(fused_resblock_trio(
+        jnp.asarray(x), dblocks, slope=0.1, tile_t=32, interpret=True))
+    np.testing.assert_allclose(got, ref_q, atol=2e-4)
+    assert 0 < np.abs(got - ref).max() < 0.5 * max(1.0, float(np.abs(ref).max()))

@@ -199,3 +199,121 @@ def test_pack_stage_arrays_matches_in_trace():
         jnp.asarray(x), jnp.asarray(up_w), jnp.asarray(up_b),
         arrays=arrays, **kw))
     np.testing.assert_array_equal(got, ref)
+
+
+# --------------------------------------------------------------------------- #
+# Round-3 serving formats: bf16 VMEM values and int8 packed weights
+# --------------------------------------------------------------------------- #
+
+
+def test_fused_stage_bf16_values_close():
+    """value_dtype=bf16 (the TPU serving default) stays within bf16 rounding
+    of the fp32 XLA stage; accumulation is fp32 so error does not compound
+    catastrophically across the pair chain."""
+    rng = np.random.default_rng(11)
+    C_in, C_out, stride, k_up = 64, 32, 2, 4
+    up_w, up_b, resblocks = _make_stage(rng, C_in, C_out, k_up, (3, 7, 11))
+    x = rng.standard_normal((2, 96, C_in)).astype(np.float32)
+    pad = (k_up - stride) // 2
+
+    expected = xla_stage(x, up_w, up_b, resblocks, stride, pad)
+    got = np.asarray(fused_stage(
+        jnp.asarray(x), jnp.asarray(up_w), jnp.asarray(up_b),
+        stride=stride, up_padding=pad, resblocks=resblocks, slope=SLOPE,
+        tile_t=64, interpret=True, value_dtype=jnp.bfloat16,
+    ))
+    assert got.dtype == np.float32  # non-chained outputs stay fp32
+    scale = max(1.0, float(np.abs(expected).max()))
+    np.testing.assert_allclose(got / scale, expected / scale, atol=0.03)
+
+
+def _chan_dequant(w, axes):
+    """Symmetric per-out-channel int8 round-trip (io/quantize.py scheme)."""
+    absmax = np.max(np.abs(w), axis=axes, keepdims=True)
+    scale = np.where(absmax > 0, absmax / 127.0, 1.0)
+    return (np.clip(np.round(w / scale), -127, 127) * scale).astype(np.float32)
+
+
+def test_fused_stage_int8_packed():
+    """int8 packed weights + in-kernel accumulator dequant must match the
+    fp32 kernel running per-out-channel DEQUANTIZED weights (the packing
+    preserves the raw quantization scheme exactly), and stay loosely within
+    quantization error of the unquantized fp32 kernel."""
+    from vits_tpu.ops.pallas.stage import pack_stage_arrays
+
+    rng = np.random.default_rng(12)
+    C_in, C_out, stride, k_up = 64, 32, 2, 4
+    up_w, up_b, resblocks = _make_stage(rng, C_in, C_out, k_up, (3, 7))
+    wpost = (rng.standard_normal((7, C_out, 1)) * 0.2).astype(np.float32)
+    lengths = np.array([100, 57], np.int32)
+    x = rng.standard_normal((2, 100, C_in)).astype(np.float32)
+    x = x * (np.arange(100)[None, :] < lengths[:, None]).astype(np.float32)[..., None]
+    kw = dict(stride=stride, up_padding=1, slope=SLOPE,
+              tile_t=64, interpret=True, lengths=jnp.asarray(lengths))
+
+    # exact reference: fp32 kernel over channel-dequantized weights
+    rb_deq = [
+        {**rb,
+         "w1": _chan_dequant(rb["w1"], (1, 2)),
+         "w2": _chan_dequant(rb["w2"], (1, 2))}
+        for rb in resblocks
+    ]
+    ref_q = np.asarray(fused_stage(
+        jnp.asarray(x), jnp.asarray(_chan_dequant(up_w, (0, 1))),
+        jnp.asarray(up_b), resblocks=rb_deq,
+        final_conv=(jnp.asarray(_chan_dequant(wpost, (0, 1))), 3), **kw))
+
+    arrays = pack_stage_arrays(
+        jnp.asarray(up_w), jnp.asarray(up_b), resblocks,
+        stride=stride, up_padding=1, final_conv=(jnp.asarray(wpost), 3),
+        weight_format="int8")
+    # the big arrays really are 1 byte/entry + fp32 scale rows
+    assert arrays["w1_all"].dtype == jnp.int8
+    assert arrays["w2_all"].dtype == jnp.int8
+    assert arrays["wu"].dtype == jnp.int8
+    assert arrays["wq"].dtype == jnp.int8
+    assert arrays["s1"].dtype == jnp.float32 and arrays["su"].dtype == jnp.float32
+    got = np.asarray(fused_stage(
+        jnp.asarray(x), jnp.asarray(up_w), jnp.asarray(up_b),
+        resblocks=resblocks, arrays=arrays,
+        final_conv=(jnp.asarray(wpost), 3), **kw))
+    np.testing.assert_allclose(got, ref_q, atol=2e-5)
+    assert np.abs(got[1, 57 * stride:]).max() == 0.0  # masking intact
+
+    # sanity: quantization error vs the unquantized fp32 kernel is bounded
+    ref = np.asarray(fused_stage(
+        jnp.asarray(x), jnp.asarray(up_w), jnp.asarray(up_b),
+        resblocks=resblocks, final_conv=(jnp.asarray(wpost), 3), **kw))
+    assert 0 < np.abs(got - ref).max() < 0.25
+
+
+def test_fused_stage_int8_bf16_values_chain():
+    """int8 packs + bf16 values through the packed two-stage chain (the real
+    TPU serving configuration for a quantized checkpoint)."""
+    from vits_tpu.ops.pallas.stage import pack_stage_arrays
+
+    rng = np.random.default_rng(13)
+    T_in = 64
+    up_wA, up_bA, rbA = _make_stage(rng, 128, 64, 4, (3, 7))
+    up_wB, up_bB, rbB = _make_stage(rng, 64, 32, 4, (3, 5))
+    x = rng.standard_normal((1, T_in, 128)).astype(np.float32)
+    kw = dict(stride=2, up_padding=1, slope=SLOPE, interpret=True, tile_t=48)
+
+    a_ref = fused_stage(jnp.asarray(x), jnp.asarray(up_wA), jnp.asarray(up_bA),
+                        resblocks=rbA, **kw)
+    b_ref = np.asarray(fused_stage(
+        a_ref, jnp.asarray(up_wB), jnp.asarray(up_bB), resblocks=rbB, **kw))
+
+    packA = pack_stage_arrays(jnp.asarray(up_wA), jnp.asarray(up_bA), rbA,
+                              stride=2, up_padding=1, weight_format="int8")
+    packB = pack_stage_arrays(jnp.asarray(up_wB), jnp.asarray(up_bB), rbB,
+                              stride=2, up_padding=1, weight_format="int8")
+    a_q = fused_stage(jnp.asarray(x), jnp.asarray(up_wA), jnp.asarray(up_bA),
+                      resblocks=rbA, arrays=packA, packed_out=True,
+                      value_dtype=jnp.bfloat16, **kw)
+    assert a_q.dtype == jnp.bfloat16  # chained carry rides the value dtype
+    b_q = np.asarray(fused_stage(
+        a_q, jnp.asarray(up_wB), jnp.asarray(up_bB), resblocks=rbB,
+        arrays=packB, packed_in=T_in * 2, value_dtype=jnp.bfloat16, **kw))
+    scale = max(1.0, float(np.abs(b_ref).max()))
+    np.testing.assert_allclose(b_q / scale, b_ref / scale, atol=0.08)

@@ -228,3 +228,102 @@ def test_seeds_differing_above_bit31_differ(tiny_bundle):
     hi = model.synthesize_raw("hello", seed=[2**33 + 5], max_redispatch=0)
     n = min(len(lo.waveform[0]), len(hi.waveform[0]))
     assert not np.allclose(lo.waveform[0][:n], hi.waveform[0][:n])
+
+
+# --------------------------------------------------------------------------- #
+# Round-3: HTTP streaming endpoint (chunked-transfer WAV)
+# --------------------------------------------------------------------------- #
+
+
+@pytest.fixture(scope="module")
+def streaming_server(tiny_bundle):
+    from vits_tpu.engine.streaming import StreamingDecoder
+
+    config, params = tiny_bundle
+    tok = VitsTokenizer(vocab=dict(VOCAB), pad_token="k", unk_token="z")
+    model = Synthesizer(
+        config, tok, params,
+        EngineConfig(token_buckets=(64,), frames_per_token=4.0,
+                     transfer_int16=False),
+    )
+    streamer = StreamingDecoder(model, chunk_frames=16, margin_frames=16)
+    server, worker = serve(model, port=0, streamer=streamer)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    port = server.server_address[1]
+    yield f"127.0.0.1:{port}", model, worker
+    worker.stop()
+    server.shutdown()
+
+
+def _read_stream(hostport, payload, chunk_size=4096):
+    """POST /stream and read the chunked body progressively.
+
+    Returns (body bytes, [arrival timestamps per read])."""
+    import http.client
+    import time
+
+    conn = http.client.HTTPConnection(hostport, timeout=300)
+    conn.request(
+        "POST", "/stream", body=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert resp.headers["Content-Type"] == "audio/wav"
+    body = b""
+    stamps = []
+    while True:
+        piece = resp.read(chunk_size)
+        if not piece:
+            break
+        stamps.append(time.perf_counter())
+        body += piece
+    conn.close()
+    return body, stamps
+
+
+def test_stream_endpoint_wav_matches_oneshot(streaming_server):
+    hostport, model, worker = streaming_server
+    text = "hello sad dame well cheese"
+    body, stamps = _read_stream(hostport, {"text": text, "seed": 5})
+
+    # streaming WAV header: RIFF/WAVE with 0xFFFFFFFF live-stream sizes
+    assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+    assert body[4:8] == b"\xff\xff\xff\xff"
+    import struct
+
+    _, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[20:36])
+    assert (channels, rate, bits) == (1, model.config.sampling_rate, 16)
+    pcm = np.frombuffer(body[44:], dtype="<i2").astype(np.float32) / 32767.0
+
+    oneshot = model.synthesize(text, seed=5)
+    assert pcm.shape == oneshot.shape
+    np.testing.assert_allclose(pcm, oneshot, atol=1.5 / 32767)
+    assert worker.stats["streams"] >= 1
+
+
+def test_stream_endpoint_delivers_before_completion(streaming_server):
+    """The point of /stream: audio bytes arrive while synthesis continues —
+    the first chunk lands strictly before the stream finishes."""
+    hostport, model, _ = streaming_server
+    body, stamps = _read_stream(
+        hostport, {"text": "hello sad dame well cheese as my cheese", "seed": 1},
+        chunk_size=1024,
+    )
+    assert len(stamps) >= 3  # header + multiple PCM chunks
+    assert stamps[0] < stamps[-1]  # first audio strictly precedes completion
+    assert len(body) > 44
+
+
+def test_stream_endpoint_validates(streaming_server):
+    hostport, _, _ = streaming_server
+    import http.client
+
+    conn = http.client.HTTPConnection(hostport, timeout=60)
+    conn.request("POST", "/stream", body=b"{}",
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 400
+    resp.read()
+    conn.close()

@@ -178,8 +178,20 @@ class EngineConfig:
 
     # Token-length buckets; an utterance is padded to the smallest bucket >= its length.
     token_buckets: tuple[int, ...] = (64, 128, 256, 512)
-    # Latent-frame capacity per token bucket, as a multiple of the token bucket.
-    frames_per_token: float = 2.0
+    # Latent-frame capacity per token bucket, as a multiple of the token
+    # bucket.  2.5 is the measured operating point: MMS-shaped weights predict
+    # ~2.2 frames/token (round-2 TTFA investigation), so 2.0 capacity forced
+    # the overflow re-dispatch ladder on ordinary utterances — the default and
+    # the benches now agree (tests/test_engine.py pins redispatches == 0).
+    frames_per_token: float = 2.5
+    # Learn the frame capacity from overflows: when a dispatch's predicted
+    # frames exceed capacity, raise the engine's working frames_per_token to
+    # the observed per-token rate (rounded up to adaptive_capacity_step so the
+    # set of compiled shapes stays tiny).  A checkpoint whose duration
+    # distribution differs from MMS then pays the ladder at most once per
+    # rate regime instead of on every utterance.
+    adaptive_capacity: bool = True
+    adaptive_capacity_step: float = 0.5
     # Computation dtype for the heavy conv stacks ("float32" or "bfloat16").
     compute_dtype: str = "float32"
     # Max batch size compiled into the batched path.
@@ -193,6 +205,18 @@ class EngineConfig:
     # "highest" = 6-pass fp32-exact.  NOTE "float32" is accepted by jax but
     # aliases HIGHEST (6-pass), not the 3-pass tier.
     pallas_precision: str | None = None
+    # VMEM *value* dtype inside the fused vocoder kernels ("float32" or
+    # "bfloat16").  None = auto: bfloat16 unless pallas_precision is
+    # "highest" (exact-parity mode needs fp32 values).  bf16 values halve
+    # the window/weight VMEM traffic and the sublane-relayout bytes between
+    # shift-matmuls; accumulation stays fp32 on the MXU either way.
+    pallas_value_dtype: str | None = None
+    # Packed-weight storage format for the fused vocoder kernels
+    # ("float32" | "bfloat16" | "int8").  None = auto: "int8" when the
+    # loaded params are int8-quantized (io/quantize.py), else follows the
+    # resolved value dtype.  int8 packed weights ride HBM->VMEM at 1
+    # byte/entry and are dequantized on the fp32 accumulator in-kernel.
+    pallas_weight_format: str | None = None
     # Route encoder self-attention through the flash-style fused kernel
     # (ops/pallas/attention.py — no quadratic HBM traffic; the XLA path
     # profiles at ~27 ms for a 2048-token encoder vs ~2 ms at 512).

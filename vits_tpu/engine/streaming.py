@@ -121,6 +121,7 @@ class StreamingDecoder:
                     ParamView(params), config, latents, mask3,
                     speaker_embeddings, use_pallas=use_pallas,
                     pallas_precision=self.synth.engine.pallas_precision,
+                    pallas_value_dtype=self.synth._pallas_value_dtype,
                 )
 
             self._decode_fn_cache[window] = run

@@ -6,8 +6,8 @@ with a host read in the middle; here each (token-bucket, frame-capacity) pair
 compiles ONCE, utterances are padded into the bucket, whole batches go through
 a single dispatch, and the only host decision is made *after* the fact: if the
 predicted frame count overflowed the chosen capacity, the engine re-dispatches
-at the next capacity (rare — capacity defaults to 2 frames/token and escalates
-geometrically).
+at the next capacity (rare — capacity defaults to 2.5 frames/token, past the
+~2.2 frames/token MMS weights predict, and escalates geometrically).
 
 Public surface mirrors the reference C API (vits.h:87-102):
 ``Synthesizer.load`` ≈ vits_model_load_from_file/bytes,
@@ -74,11 +74,29 @@ class Synthesizer:
         params: dict,
         engine_config: Optional[EngineConfig] = None,
         device: Optional[jax.Device] = None,
+        mesh=None,  # jax.sharding.Mesh with a 'data' axis: multi-chip serving
     ):
         self.config = config
         self.tokenizer = tokenizer
         self.engine = engine_config or EngineConfig()
         self.device = device
+        # Multi-chip serving: params replicate across the mesh, every batch
+        # shards over the 'data' axis, XLA/GSPMD runs each row's synthesis on
+        # its own chip (SURVEY.md §2b row 1 — the reference is single-process
+        # CPU with batch==1 asserted, vits.cpp:184,303).
+        self.mesh = mesh
+        self._data_sharding = self._replicated = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            if device is not None:
+                raise ValueError("pass either device= or mesh=, not both")
+            from vits_tpu.parallel.mesh import DATA_AXIS
+
+            if DATA_AXIS not in mesh.axis_names:
+                raise ValueError(f"mesh needs a '{DATA_AXIS}' axis: {mesh}")
+            self._data_sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+            self._replicated = NamedSharding(mesh, PartitionSpec())
         dtype = jnp.bfloat16 if self.engine.compute_dtype == "bfloat16" else jnp.float32
         self.compute_dtype = dtype
 
@@ -86,27 +104,53 @@ class Synthesizer:
             arr = jnp.asarray(x)
             if arr.dtype == jnp.float32 and dtype != jnp.float32:
                 arr = arr.astype(dtype)
+            if self._replicated is not None:
+                return jax.device_put(arr, self._replicated)
             return jax.device_put(arr, device) if device is not None else arr
 
         self.params = {k: _place(v) for k, v in params.items()}
         use_pallas = self.engine.use_pallas_vocoder
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
+        self._pallas_value_dtype = None
         if use_pallas and dtype == jnp.float32:
-            # Pack the fused-stage vocoder weights ONCE at load: in-trace
+            # Kernel VMEM value dtype: bf16 by default (halves window/weight
+            # VMEM traffic; fp32 accumulation unchanged); fp32 when the user
+            # asked for a high-precision matmul tier.
+            vd = self.engine.pallas_value_dtype
+            if vd is None:
+                vd = ("float32" if self.engine.pallas_precision
+                      in ("high", "highest") else "bfloat16")
+            self._pallas_value_dtype = vd
+            # Packed-weight format: int8 when the checkpoint is quantized
+            # (keeps the int8 HBM saving ON the pallas path — round-2 lost it
+            # to fp32 packs), else match the value dtype.
+            wf = self.engine.pallas_weight_format
+            if wf is None:
+                quantized = any(
+                    k.startswith("decoder.") and k.endswith(".scale")
+                    for k in self.params
+                )
+                wf = "int8" if quantized else vd
+            # Pack the fused-kernel vocoder weights ONCE at load: in-trace
             # packing would re-run the shift-matrix scatters every dispatch
             # (models/hifigan.py::precompute_vocoder_packs).
             from vits_tpu.models.hifigan import precompute_vocoder_packs
 
             self.params.update(
                 {k: _place(v) for k, v in
-                 precompute_vocoder_packs(self.params, config).items()})
+                 precompute_vocoder_packs(
+                     self.params, config, weight_format=wf).items()})
         # Observability counters (the reference's verbose/log machinery,
         # vits.cpp:1234-1239, reimagined as structured stats).
         # compiled_shapes counts DISTINCT dispatch signatures (batch, tokens,
         # frames, rng layout) — jax compiles one program per such signature,
         # not one per frame bucket.
         self._dispatch_shapes: set = set()
+        # Working frames/token ratio; starts at the config value and is bumped
+        # by collect() when an overflow reveals the checkpoint's real rate
+        # (EngineConfig.adaptive_capacity).
+        self._frames_per_token = float(self.engine.frames_per_token)
         self.stats = {
             "dispatches": 0,
             "redispatches": 0,
@@ -122,6 +166,7 @@ class Synthesizer:
         source,
         engine_config: Optional[EngineConfig] = None,
         device: Optional[jax.Device] = None,
+        mesh=None,
     ) -> "Synthesizer":
         """Load from a .ggml path/bytes, an HF directory, or an HF hub name."""
         from vits_tpu.io import loader
@@ -132,7 +177,7 @@ class Synthesizer:
             config, tokenizer, params = loader.load_ggml(source)
         else:
             config, tokenizer, params = loader.load_hf_pretrained(source)
-        return cls(config, tokenizer, params, engine_config, device)
+        return cls(config, tokenizer, params, engine_config, device, mesh=mesh)
 
     # ------------------------------------------------------------------ #
     @functools.lru_cache(maxsize=None)  # noqa: B019 — engine owns its cache
@@ -147,8 +192,7 @@ class Synthesizer:
             use_pallas_attention = jax.default_backend() == "tpu"
         transfer_int16 = self.engine.transfer_int16
 
-        @functools.partial(jax.jit, static_argnames=("num_frames",))
-        def run(params, input_ids, input_mask, rng, speaker_id, controls, num_frames):
+        def body(params, input_ids, input_mask, rng, speaker_id, controls):
             # controls = (noise_scale, noise_scale_duration, speaking_rate),
             # traced float32 scalars: per-call overrides never recompile
             # (the reference can only honor config values, vits.cpp:977-979).
@@ -159,6 +203,7 @@ class Synthesizer:
                 pallas_precision=self.engine.pallas_precision,
                 use_pallas_flow=self.engine.use_pallas_flow,
                 use_pallas_attention=use_pallas_attention,
+                pallas_value_dtype=self._pallas_value_dtype,
                 noise_scale=noise_scale,
                 noise_scale_duration=noise_scale_duration,
                 speaking_rate=speaking_rate,
@@ -173,7 +218,37 @@ class Synthesizer:
                 ).astype(jnp.int16)
             return (wave, out.lengths, out.frame_lengths, out.log_duration)
 
-        return functools.partial(run, num_frames=num_frames)
+        if self.mesh is None:
+            return jax.jit(body)
+
+        # --- mesh dispatch: shard_map over the 'data' axis ----------------- #
+        # Plain jit+GSPMD would treat the Pallas custom-calls as unpartition-
+        # able (all-gather in, replicate the vocoder on every chip); shard_map
+        # runs the WHOLE per-row program manually per shard, so the fused
+        # kernels stay on the multi-chip path.  Rows are independent — no
+        # collectives — and per-row PRNG keys (required in mesh mode,
+        # submit() enforces the layout) make every row's noise identical to
+        # its single-chip draw.
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        mesh = self.mesh
+
+        def mesh_run(params, input_ids, input_mask, rng, speaker_id, controls):
+            assert jnp.ndim(rng) == 2, "mesh dispatch needs per-row PRNG keys"
+            in_specs = (
+                jax.tree.map(lambda _: P(), params),
+                P("data"), P("data"), P("data"),
+                None if speaker_id is None else P("data"),
+                (P(), P(), P()),
+            )
+            out_specs = (P("data"), P("data"), P("data"), P("data"))
+            return shard_map(
+                body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_rep=False,
+            )(params, input_ids, input_mask, rng, speaker_id, controls)
+
+        return jax.jit(mesh_run)
 
     def _controls(self, noise_scale, noise_scale_duration, speaking_rate):
         """Per-call control overrides as traced float32 scalars."""
@@ -198,12 +273,31 @@ class Synthesizer:
         fn = self._compiled(num_frames)
         if controls is None:
             controls = self._controls(None, None, None)
+        ids_dev = jnp.asarray(ids)
+        mask_dev = jnp.asarray(mask, dtype=self.compute_dtype)
+        rng_dev = rng
+        spk_dev = speaker_id
+        if self.mesh is not None:
+            # Shard every leading-batch input over 'data'; scalar-key RNG and
+            # the traced control scalars replicate.  GSPMD then partitions
+            # the whole program row-wise — no collectives on this path (rows
+            # are independent), so scaling is embarrassingly linear over ICI.
+            put = jax.device_put
+            ids_dev = put(ids_dev, self._data_sharding)
+            mask_dev = put(mask_dev, self._data_sharding)
+            rng_dev = put(
+                jnp.asarray(rng),
+                self._data_sharding if jnp.ndim(rng) == 2 else self._replicated,
+            )
+            if spk_dev is not None:
+                spk_dev = put(jnp.asarray(spk_dev), self._data_sharding)
+            controls = tuple(put(c, self._replicated) for c in controls)
         out = fn(
             self.params,
-            jnp.asarray(ids),
-            jnp.asarray(mask, dtype=self.compute_dtype),
-            rng,
-            speaker_id,
+            ids_dev,
+            mask_dev,
+            rng_dev,
+            spk_dev,
             controls,
         )
         self._dispatch_shapes.add(
@@ -237,15 +331,17 @@ class Synthesizer:
         are traced — overriding them does not recompile.
         """
         single = isinstance(texts, str)
+        n_texts = 1 if single else len(texts)
         out = self.synthesize_raw(
             texts, seed=seed, speaker_id=speaker_id, max_redispatch=max_redispatch,
             noise_scale=noise_scale, noise_scale_duration=noise_scale_duration,
             speaking_rate=speaking_rate,
         )
         waves = out.waveform.astype(np.float32, copy=False)
+        # batch rows past n_texts are padding (mesh 'data'-axis rounding)
         results = [
             waves[i, : out.lengths[i]] if trim else waves[i]
-            for i in range(waves.shape[0])
+            for i in range(min(n_texts, waves.shape[0]))
         ]
         return results[0] if single else results
 
@@ -275,6 +371,13 @@ class Synthesizer:
             pad_rows = pad_to_batch - ids.shape[0]
             ids = np.pad(ids, ((0, pad_rows), (0, 0)))
             mask = np.pad(mask, ((0, pad_rows), (0, 0)))
+        if self.mesh is not None:
+            # batch must tile the 'data' axis; pad rows are masked out
+            d = self.mesh.shape["data"]
+            short = -ids.shape[0] % d
+            if short:
+                ids = np.pad(ids, ((0, short), (0, 0)))
+                mask = np.pad(mask, ((0, short), (0, 0)))
 
         spk = None
         if speaker_id is not None:
@@ -283,7 +386,17 @@ class Synthesizer:
             ).copy()
 
         if isinstance(seed, (int, np.integer)):
-            rng = jax.random.PRNGKey(int(seed))
+            if self.mesh is not None:
+                # Mesh dispatch runs per-row programs under shard_map, which
+                # cannot reproduce the single-key whole-batch noise stream —
+                # expand a scalar seed to per-row keys (fold_in row index).
+                # Deterministic, rows independent; audio differs from the
+                # single-chip scalar-seed stream by construction.
+                base = jax.random.PRNGKey(int(seed))
+                rng = jax.vmap(lambda r: jax.random.fold_in(base, r))(
+                    jnp.arange(ids.shape[0], dtype=jnp.uint32))
+            else:
+                rng = jax.random.PRNGKey(int(seed))
         else:
             # Per-row seeds folded into row keys: rows with different seeds
             # still share ONE dispatch (the server's mixed-seed batching).
@@ -304,7 +417,7 @@ class Synthesizer:
                     jax.random.fold_in(base, lo_), hi_)
             )(lo, hi)
         controls = self._controls(noise_scale, noise_scale_duration, speaking_rate)
-        num_frames = self.engine.frame_bucket(t_bucket)
+        num_frames = self._frame_capacity(t_bucket)
         device_out = self._dispatch(ids, mask, num_frames, rng, spk, controls)
         # Start the device->host copies NOW: collect() always needs these
         # bytes, and kicking the DMA off at submit time overlaps the transfer
@@ -325,12 +438,39 @@ class Synthesizer:
             wave = wave.astype(np.float32) / 32767.0
         return EngineOutput(wave, *host[1:])
 
+    def _frame_capacity(self, token_bucket: int) -> int:
+        """Frame capacity for a token bucket at the current working ratio.
+
+        Like ``EngineConfig.frame_bucket`` but uses the adaptively-raised
+        ratio; rounded to a multiple of 8 so the time axis tiles the VPU
+        sublanes.
+        """
+        frames = int(token_bucket * self._frames_per_token)
+        return ((frames + 7) // 8) * 8
+
+    def _observe_overflow(self, pending: PendingSynthesis, frame_lengths) -> None:
+        """Raise the working frames/token ratio to cover an observed overflow.
+
+        The observed rate is per-row predicted frames over per-row VALID
+        tokens (mask sum) — the rate a full bucket of such text would need —
+        rounded up to ``adaptive_capacity_step`` so compiled shapes stay few.
+        """
+        if not self.engine.adaptive_capacity:
+            return
+        tokens = np.maximum(np.asarray(pending.mask, np.float32).sum(axis=1), 1.0)
+        rate = float(np.max(np.asarray(frame_lengths, np.float32) / tokens))
+        step = max(self.engine.adaptive_capacity_step, 1e-3)
+        bumped = np.ceil(rate / step) * step
+        if bumped > self._frames_per_token:
+            self._frames_per_token = float(bumped)
+
     def collect(self, pending: PendingSynthesis, max_redispatch: int = 3) -> EngineOutput:
         """Block on a submission's single device->host fetch (+ overflow ladder)."""
         out = self._fetch(pending.device_out)
         predicted = int(out.frame_lengths.max())
         num_frames = pending.num_frames
         if predicted > num_frames:
+            self._observe_overflow(pending, out.frame_lengths)
             for attempt in range(max_redispatch):
                 while num_frames < predicted:
                     num_frames *= 2
@@ -382,11 +522,14 @@ class Synthesizer:
         """
         buckets = token_buckets or self.engine.token_buckets
         for bs in batch_sizes:
+            if self.mesh is not None:  # batch must tile the 'data' axis
+                d = self.mesh.shape["data"]
+                bs = -(-bs // d) * d
             for tb in buckets:
                 ids = np.zeros((bs, tb), np.int32)
                 mask = np.zeros((bs, tb), np.float32)
                 mask[:, 0] = 1.0
-                if per_row_seeds:
+                if per_row_seeds or self.mesh is not None:
                     base = jax.random.PRNGKey(0)
                     zeros = jnp.zeros((bs,), jnp.uint32)
                     rng = jax.vmap(
@@ -396,6 +539,6 @@ class Synthesizer:
                 else:
                     rng = jax.random.PRNGKey(0)
                 out = self._dispatch(
-                    ids, mask, self.engine.frame_bucket(tb), rng, None
+                    ids, mask, self._frame_capacity(tb), rng, None
                 )
                 jax.block_until_ready(out)

@@ -58,7 +58,8 @@ def _resblock(
     return x
 
 
-def _fused_resblock_call(p, h, mask, kernel_size, dilations, slope, precision=None):
+def _fused_resblock_call(p, h, mask, kernel_size, dilations, slope, precision=None,
+                         value_dtype=None):
     """Route one resblock through the fused Pallas kernel (bit-exact vs XLA)."""
     from vits_tpu.ops.pallas.resblock import fused_resblock
 
@@ -74,6 +75,7 @@ def _fused_resblock_call(p, h, mask, kernel_size, dilations, slope, precision=No
         h, w1, b1, w2, b2,
         kernel_size=kernel_size, dilations=tuple(dilations), slope=slope,
         tile_t=2048, lengths=lengths, precision=precision,
+        value_dtype=value_dtype,
     )
 
 
@@ -95,42 +97,84 @@ def _stage_resblock_dicts(p: ParamView, config: VitsConfig, i: int):
 
 
 PACK_PREFIX = "__vocoder_pack__"
+# Per-stage packed-array names; scale rows only exist in int8 packs.
+STAGE_PACK_NAMES = ("wu", "bu", "w1_all", "b1_all", "w2_all", "b2_all",
+                    "wr_all", "wq", "su", "s1", "s2", "sq")
+TRIO_PACK_NAMES = ("w1", "b1", "w2", "b2", "s1", "s2")
 
 
-def precompute_vocoder_packs(params: dict, config: VitsConfig) -> dict:
-    """Load-time packing of the stage-fusable vocoder weights.
+def _quantize_conv_stack(w: jax.Array):
+    """(pairs, k, C, C) fp32 -> int8 + per-(pair, out-channel) fp32 scales.
 
-    Returns flat ``{__vocoder_pack__.{stage}.{name}: array}`` entries to merge
-    into the params dict; hifigan picks them up automatically and skips the
-    per-dispatch shift-matrix scatters (see ops/pallas/stage.py::
-    pack_stage_arrays).  Call OUTSIDE jit on concrete fp32 params.  Keys are
-    engine-internal — exporters operate on loader-level params and never see
-    them.
+    Every tap of a pair shares its out-channel scale, so the kernel
+    dequantizes with one row-broadcast multiply on the accumulated sum
+    (ops/pallas/resblock.py::_trio_kernel)."""
+    absmax = jnp.max(jnp.abs(w), axis=(1, 2))  # (pairs, C)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0).astype(jnp.float32)
+    q = jnp.clip(jnp.round(w / scale[:, None, None, :]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def precompute_vocoder_packs(
+    params: dict, config: VitsConfig, weight_format: str = "float32",
+) -> dict:
+    """Load-time packing of ALL fused-kernel vocoder weights.
+
+    Returns flat ``{__vocoder_pack__...: array}`` entries to merge into the
+    params dict; hifigan picks them up automatically.  Narrow (stage-fusable)
+    stages get shift-matrix packs (skipping the per-dispatch scatters, see
+    ops/pallas/stage.py::pack_stage_arrays); wide stages get the stacked
+    resblock-trio weights under ``{stage}.rb{j}.*``.  ``weight_format``
+    ("float32" | "bfloat16" | "int8") sets the HBM bytes/entry of the big
+    weight arrays; int8 adds per-out-channel scale rows the kernels apply to
+    their fp32 accumulators.  Call OUTSIDE jit on concrete params (int8
+    checkpoints dequantize through ParamView first — per-column re-quant of
+    the packed layout is numerically the same per-out-channel scheme).  Keys
+    are engine-internal — exporters operate on loader-level params and never
+    see them.
     """
     from vits_tpu.ops.pallas.stage import pack_stage_arrays
 
+    if weight_format not in ("float32", "bfloat16", "int8"):
+        raise ValueError(f"unknown weight_format {weight_format!r}")
     p = ParamView(params).sub("decoder")
     packs: dict = {}
     n_stages = len(config.upsample_rates)
     for i, rate in enumerate(config.upsample_rates):
         up_w = p[f"upsampler.{i}.weight"]
         c_in, c_out = up_w.shape[1], up_w.shape[2]
-        if not (128 % c_in == 0 and 128 % c_out == 0
+        if (128 % c_in == 0 and 128 % c_out == 0
                 and (128 // c_out) == rate * (128 // c_in)):
-            continue
-        final_conv = None
-        if i == n_stages - 1:
-            wpost = p["conv_post.weight"]
-            final_conv = (wpost, (wpost.shape[0] - 1) // 2)
-        arrays = pack_stage_arrays(
-            up_w, p[f"upsampler.{i}.bias"],
-            _stage_resblock_dicts(p, config, i),
-            stride=rate,
-            up_padding=(config.upsample_kernel_sizes[i] - rate) // 2,
-            final_conv=final_conv,
-        )
-        for name, arr in arrays.items():
-            packs[f"{PACK_PREFIX}.{i}.{name}"] = arr
+            final_conv = None
+            if i == n_stages - 1:
+                wpost = p["conv_post.weight"]
+                final_conv = (wpost, (wpost.shape[0] - 1) // 2)
+            arrays = pack_stage_arrays(
+                up_w, p[f"upsampler.{i}.bias"],
+                _stage_resblock_dicts(p, config, i),
+                stride=rate,
+                up_padding=(config.upsample_kernel_sizes[i] - rate) // 2,
+                final_conv=final_conv,
+                weight_format=weight_format,
+            )
+            for name, arr in arrays.items():
+                packs[f"{PACK_PREFIX}.{i}.{name}"] = arr
+        elif c_out % 128 == 0:
+            # wide stage: stack the trio weights once at load; int8/bf16 cut
+            # their HBM->VMEM bytes (these are the LARGE vocoder weights)
+            for j, blk in enumerate(_stage_resblock_dicts(p, config, i)):
+                w1, w2 = blk["w1"], blk["w2"]
+                entries = {"b1": blk["b1"], "b2": blk["b2"]}
+                if weight_format == "int8":
+                    entries["w1"], entries["s1"] = _quantize_conv_stack(w1)
+                    entries["w2"], entries["s2"] = _quantize_conv_stack(w2)
+                elif weight_format == "bfloat16":
+                    entries["w1"] = w1.astype(jnp.bfloat16)
+                    entries["w2"] = w2.astype(jnp.bfloat16)
+                else:
+                    entries["w1"], entries["w2"] = w1, w2
+                for name, arr in entries.items():
+                    packs[f"{PACK_PREFIX}.{i}.rb{j}.{name}"] = arr
     return packs
 
 
@@ -142,11 +186,17 @@ def hifigan(
     global_conditioning: jax.Array | None = None,  # (B, 1, speaker_emb)
     use_pallas: bool = False,
     pallas_precision: str | None = None,  # None = fast bf16 multiplies
+    pallas_value_dtype: str | None = None,  # kernel VMEM value dtype; None=fp32
+    trainable: bool = False,  # gradient-capable kernels only: wide stages run
+    #   the custom-VJP fused trio (ops/pallas/trio_grad.py), everything else
+    #   falls back to XLA.  Requires frame_mask=None (training decodes
+    #   unmasked fixed-length segments, train/step.py).
 ) -> jax.Array:
     """Latents -> waveform (B, T * prod(upsample_rates))."""
     p = params.sub("decoder")
     num_kernels = len(config.resblock_kernel_sizes)
     slope = config.leaky_relu_slope
+    vd = jnp.float32 if pallas_value_dtype is None else jnp.dtype(pallas_value_dtype)
 
     h = conv1d(spectrogram, p["conv_pre.weight"], p["conv_pre.bias"], padding=3)
     if global_conditioning is not None:
@@ -155,10 +205,11 @@ def hifigan(
     if mask is not None:
         h = h * mask
 
-    def _stage_fusable(c_in, c_out, rate):
+    def _stage_fusable(c_in, c_out, rate, carry_dtype=None):
         return (
             use_pallas
-            and h.dtype == jnp.float32
+            and not trainable  # the stage kernel has no VJP yet
+            and (carry_dtype or h.dtype) in (jnp.float32, vd)
             and 128 % c_in == 0
             and 128 % c_out == 0
             and (128 // c_out) == rate * (128 // c_in)
@@ -174,10 +225,10 @@ def hifigan(
         # Whole-stage fused kernel (leaky + conv-transpose + all resblocks in
         # one VMEM-resident Pallas program) for the narrow tail stages where
         # XLA runs at 3-8% MFU; see ops/pallas/stage.py for applicability.
-        # Known cost: the weight stacking/packing below is traced over params
-        # and so re-executes per dispatch — device-lane profiling shows it in
-        # the sub-0.2 ms small-op categories; hoisting it to load time is a
-        # round-3 cleanup (BENCH_DETAIL device_profile).
+        # The shift-matrix packing happens ONCE at load time via
+        # precompute_vocoder_packs (the ``arrays=`` fast path below); only the
+        # cheap jnp.stack of raw resblock weights remains traced — and is
+        # unused by the kernel when packed arrays are present.
         if _stage_fusable(c_in, c_out, rate):
             from vits_tpu.ops.pallas.stage import fused_stage
 
@@ -195,7 +246,7 @@ def hifigan(
                 not is_last
                 and _stage_fusable(
                     next_w.shape[1], next_w.shape[2],
-                    config.upsample_rates[i + 1])
+                    config.upsample_rates[i + 1], carry_dtype=vd)
             )
             final_conv = None
             if is_last:
@@ -204,10 +255,12 @@ def hifigan(
             # Load-time packed weights (precompute_vocoder_packs merged into
             # the params dict) skip the per-dispatch shift-matrix scatters.
             arrays = None
-            names = ["wu", "bu", "w1_all", "b1_all", "w2_all", "b2_all",
-                     "wr_all"] + (["wq"] if final_conv is not None else [])
             if f"{PACK_PREFIX}.{i}.wu" in params:
-                arrays = {n: params[f"{PACK_PREFIX}.{i}.{n}"] for n in names}
+                arrays = {
+                    n: params[f"{PACK_PREFIX}.{i}.{n}"]
+                    for n in STAGE_PACK_NAMES
+                    if f"{PACK_PREFIX}.{i}.{n}" in params
+                }
             out = fused_stage(
                 h, up_w, p[f"upsampler.{i}.bias"],
                 stride=rate, up_padding=(kernel_size - rate) // 2,
@@ -216,6 +269,7 @@ def hifigan(
                 precision=pallas_precision,
                 packed_in=packed_T, packed_out=chain_next,
                 arrays=arrays, final_conv=final_conv,
+                value_dtype=vd,
             )
             if final_conv is not None:
                 return out  # already tanh'd, masked waveform (B, T)
@@ -258,9 +312,25 @@ def hifigan(
         wide = channels % 128 == 0
         fuse = (
             use_pallas
+            and not trainable
             and (wide or 128 % channels == 0)
             and h.dtype == jnp.float32
         )
+
+        # Training path: wide stages through the custom-VJP fused trio —
+        # jax.grad flows, forward runs fused (ops/pallas/trio_grad.py).
+        if (use_pallas and trainable and wide and mask is None
+                and h.dtype == jnp.float32):
+            from vits_tpu.ops.pallas.trio_grad import make_trainable_trio
+
+            blocks = _stage_resblock_dicts(p, config, i)
+            f = make_trainable_trio(
+                [{"kernel_size": b["kernel_size"], "dilations": b["dilations"]}
+                 for b in blocks],
+                slope=slope, tile_t=2048, precision=pallas_precision,
+            )
+            h = f(h, tuple((b["w1"], b["b1"], b["w2"], b["b2"]) for b in blocks))
+            continue
 
         if fuse and wide:
             from vits_tpu.ops.pallas.resblock import fused_resblock_trio
@@ -268,10 +338,26 @@ def hifigan(
             lengths = None
             if mask is not None:
                 lengths = jnp.sum(mask[..., 0], axis=1).astype(jnp.int32)
+            # Load-time stacked (and possibly int8/bf16) trio weights from
+            # precompute_vocoder_packs; fall back to in-trace stacking.
+            blocks = None
+            if f"{PACK_PREFIX}.{i}.rb0.w1" in params:
+                blocks = []
+                for j in range(num_kernels):
+                    base = f"{PACK_PREFIX}.{i}.rb{j}."
+                    blk = dict(
+                        kernel_size=config.resblock_kernel_sizes[j],
+                        dilations=tuple(config.resblock_dilation_sizes[j]),
+                    )
+                    for name in TRIO_PACK_NAMES:
+                        if base + name in params:
+                            blk[name] = params[base + name]
+                    blocks.append(blk)
             h = fused_resblock_trio(
-                h, _stage_resblock_dicts(p, config, i),
+                h, blocks if blocks is not None
+                else _stage_resblock_dicts(p, config, i),
                 slope=slope, tile_t=2048, lengths=lengths,
-                precision=pallas_precision,
+                precision=pallas_precision, value_dtype=vd,
             )
             continue
 
@@ -285,6 +371,7 @@ def hifigan(
                     config.resblock_dilation_sizes[j],
                     slope,
                     precision=pallas_precision,
+                    value_dtype=vd,
                 )
             else:
                 block_out = _resblock(

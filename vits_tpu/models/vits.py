@@ -312,6 +312,7 @@ def synthesize(
     pallas_precision: Optional[str] = None,
     use_pallas_flow: bool = False,
     use_pallas_attention: bool = False,
+    pallas_value_dtype: Optional[str] = None,
 ) -> SynthesisOutput:
     """Full text -> waveform pipeline (latents stage + vocoder) in one program.
 
@@ -334,6 +335,7 @@ def synthesize(
     waveform = hifigan(
         p, config, lat.latents, frame_mask3, lat.speaker_embeddings,
         use_pallas=use_pallas, pallas_precision=pallas_precision,
+        pallas_value_dtype=pallas_value_dtype,
     )
 
     frame_lengths = jnp.minimum(lat.total_duration, float(num_frames)).astype(jnp.int32)

@@ -30,6 +30,15 @@ from jax.experimental.pallas import tpu as pltpu
 from vits_tpu.ops.conv import conv1d, leaky_relu
 
 
+def _leaky(x, slope):
+    """leaky_relu with the sign predicate in fp32: v5e Mosaic rejects bf16
+    vector comparisons (`arith.cmpf` on bf16 -> "Target does not support
+    this comparison"), so bf16 value buffers compare through an fp32 cast —
+    the multiply/select still runs at the value dtype."""
+    pred = x >= 0 if x.dtype == jnp.float32 else x.astype(jnp.float32) >= 0
+    return jnp.where(pred, x, x * slope)
+
+
 def halo_per_pair(kernel_size: int, dilation: int) -> int:
     return dilation * (kernel_size - 1) // 2 + (kernel_size - 1) // 2
 
@@ -54,7 +63,8 @@ def xla_resblock(x, weights, kernel_size, dilations, slope):
 
 
 def _kernel(x_hbm, len_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, xwin, sem,
-            *, tile_t, kernel_size, dilations, slope, window, halo, precision=None):
+            *, tile_t, kernel_size, dilations, slope, window, halo, precision=None,
+            value_dtype=jnp.float32):
     i = pl.program_id(0)  # time tile
     b = pl.program_id(1)  # batch row
 
@@ -75,7 +85,7 @@ def _kernel(x_hbm, len_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, xwin, sem,
         mid_len = cur_len - 2 * h1
         out_len = mid_len - 2 * h2
 
-        h = jnp.where(x >= 0, x, x * slope)
+        h = _leaky(x, slope)
         acc1 = None
         for tap in range(k):
             piece = jax.lax.slice_in_dim(h, tap * dilation, tap * dilation + mid_len, axis=0)
@@ -94,7 +104,7 @@ def _kernel(x_hbm, len_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, xwin, sem,
         in_seq1 = (g1 >= halo) & (g1 < halo + valid_len)
         y1 = jnp.where(in_seq1, y1, 0.0)
 
-        h2v = jnp.where(y1 >= 0, y1, y1 * slope)
+        h2v = jnp.where(y1 >= 0, y1, y1 * slope).astype(value_dtype)
         acc2 = None
         for tap in range(k):
             piece = jax.lax.slice_in_dim(h2v, tap, tap + out_len, axis=0)
@@ -121,7 +131,7 @@ def _kernel(x_hbm, len_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, xwin, sem,
             + (i * tile_t + offset)
         )
         in_seq = (g >= halo) & (g < halo + valid_len)
-        x = jnp.where(in_seq, x, 0.0)
+        x = jnp.where(in_seq, x, 0.0).astype(value_dtype)
 
     out_ref[0] = x.astype(out_ref.dtype)
 
@@ -136,10 +146,11 @@ def _kernel(x_hbm, len_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, xwin, sem,
 
 
 def _trio_kernel(x_hbm, len_ref, *rest, tile_t, blocks_meta, slope, window,
-                 HO, inv_blocks, precision=None):
-    n = len(blocks_meta)
-    w_refs = rest[: 4 * n]  # (w1, b1, w2, b2) per block
-    out_ref, xwin, sem = rest[4 * n :]
+                 HO, inv_blocks, precision=None, value_dtype=jnp.float32):
+    # per block: (w1, b1, w2, b2) + (s1, s2) per-channel scales when int8
+    n_refs = sum(6 if m["quant"] else 4 for m in blocks_meta)
+    w_refs = rest[:n_refs]
+    out_ref, xwin, sem = rest[n_refs:]
     i = pl.program_id(0)
     b = pl.program_id(1)
 
@@ -151,8 +162,15 @@ def _trio_kernel(x_hbm, len_ref, *rest, tile_t, blocks_meta, slope, window,
 
     valid_len = len_ref[b, 0]
     acc = None
-    for blk_i, meta in enumerate(blocks_meta):
-        w1_ref, b1_ref, w2_ref, b2_ref = w_refs[4 * blk_i : 4 * blk_i + 4]
+    ref_pos = 0
+    for meta in blocks_meta:
+        w1_ref, b1_ref, w2_ref, b2_ref = w_refs[ref_pos : ref_pos + 4]
+        s1_ref = s2_ref = None
+        if meta["quant"]:
+            s1_ref, s2_ref = w_refs[ref_pos + 4 : ref_pos + 6]
+            ref_pos += 6
+        else:
+            ref_pos += 4
         k = meta["kernel_size"]
         x = xwin[:]
         cur_len = window
@@ -163,15 +181,20 @@ def _trio_kernel(x_hbm, len_ref, *rest, tile_t, blocks_meta, slope, window,
             mid_len = cur_len - 2 * h1
             out_len = mid_len - 2 * h2
 
-            h = jnp.where(x >= 0, x, x * slope)
+            h = _leaky(x, slope)
             acc1 = None
             for tap in range(k):
                 piece = jax.lax.slice_in_dim(
                     h, tap * dilation, tap * dilation + mid_len, axis=0)
-                term = jnp.dot(piece, w1_ref[pair, tap],
+                term = jnp.dot(piece, w1_ref[pair, tap].astype(value_dtype),
                                preferred_element_type=jnp.float32,
                                precision=precision)
                 acc1 = term if acc1 is None else acc1 + term
+            if s1_ref is not None:
+                # int8 weights: every tap of a pair shares the per-OUT-channel
+                # scale, so ONE fp32 multiply on the accumulated sum
+                # dequantizes the whole conv.
+                acc1 = acc1 * s1_ref[pair][None, :]
             y1 = acc1 + b1_ref[pair][None, :].astype(jnp.float32)
             g1 = (
                 jax.lax.broadcasted_iota(jnp.int32, (mid_len, 1), 0)
@@ -180,14 +203,16 @@ def _trio_kernel(x_hbm, len_ref, *rest, tile_t, blocks_meta, slope, window,
             in_seq1 = (g1 >= HO) & (g1 < HO + valid_len)
             y1 = jnp.where(in_seq1, y1, 0.0)
 
-            h2v = jnp.where(y1 >= 0, y1, y1 * slope)
+            h2v = jnp.where(y1 >= 0, y1, y1 * slope).astype(value_dtype)
             acc2 = None
             for tap in range(k):
                 piece = jax.lax.slice_in_dim(h2v, tap, tap + out_len, axis=0)
-                term = jnp.dot(piece, w2_ref[pair, tap],
+                term = jnp.dot(piece, w2_ref[pair, tap].astype(value_dtype),
                                preferred_element_type=jnp.float32,
                                precision=precision)
                 acc2 = term if acc2 is None else acc2 + term
+            if s2_ref is not None:
+                acc2 = acc2 * s2_ref[pair][None, :]
             y2 = acc2 + b2_ref[pair][None, :]
 
             local = h1 + h2
@@ -199,12 +224,15 @@ def _trio_kernel(x_hbm, len_ref, *rest, tile_t, blocks_meta, slope, window,
                 + (i * tile_t + offset)
             )
             in_seq = (g >= HO) & (g < HO + valid_len)
-            x = jnp.where(in_seq, x, 0.0)
+            # carry the working value in value_dtype: halves the VMEM
+            # bandwidth + sublane-relayout bytes of every later shifted read
+            x = jnp.where(in_seq, x, 0.0).astype(value_dtype)
 
         # window covers [i*tile - HO, ...); this block consumed meta["halo"]
-        # per side — slice its centered tile.
+        # per side — slice its centered tile.  Sum across blocks in fp32.
         xb = jax.lax.slice_in_dim(
-            x, HO - meta["halo"], HO - meta["halo"] + tile_t, axis=0)
+            x, HO - meta["halo"], HO - meta["halo"] + tile_t, axis=0
+        ).astype(jnp.float32)
         acc = xb if acc is None else acc + xb
     out_ref[0] = (acc * inv_blocks).astype(out_ref.dtype)
 
@@ -212,17 +240,24 @@ def _trio_kernel(x_hbm, len_ref, *rest, tile_t, blocks_meta, slope, window,
 def fused_resblock_trio(
     x: jax.Array,  # (B, T, C) UNpadded, C % 128 == 0
     blocks: Sequence[dict],  # per block: {w1, b1, w2, b2, kernel_size, dilations}
+    #   int8 serving: add {s1, s2} per-out-channel fp32 scales (pairs, C) and
+    #   pass w1/w2 as int8 — dequantization happens on the fp32 accumulator
+    #   in-kernel, so the weights ride HBM->VMEM at 1 byte/entry.
     *,
     slope: float,
     tile_t: int = 2048,
     lengths: jax.Array | None = None,
     interpret: bool = False,
     precision: str | None = None,
+    value_dtype=None,  # VMEM value dtype: None = fp32 (exact parity mode);
+    #   jnp.bfloat16 halves window/weight VMEM traffic, fp32 accumulation
 ) -> jax.Array:
     """mean_j resblock_j(x) in ONE kernel (wide stages).  Bit-matches the
-    mean of ``xla_resblock`` outputs; pinned by tests/test_pallas_resblock."""
+    mean of ``xla_resblock`` outputs at value_dtype fp32; pinned by
+    tests/test_pallas_resblock."""
     B, T, C = x.shape
     assert C % 128 == 0, C
+    vd = jnp.float32 if value_dtype is None else jnp.dtype(value_dtype)
     metas = []
     for blk in blocks:
         halo = total_halo(blk["kernel_size"], tuple(blk["dilations"]))
@@ -230,6 +265,7 @@ def fused_resblock_trio(
             "kernel_size": blk["kernel_size"],
             "dilations": tuple(blk["dilations"]),
             "halo": halo,
+            "quant": "s1" in blk,
         })
     HO = max(m["halo"] for m in metas)
 
@@ -242,29 +278,39 @@ def fused_resblock_trio(
         lengths = jnp.full((B,), T, jnp.int32)
     lengths2 = lengths.astype(jnp.int32).reshape(B, 1)
     xp = jnp.pad(x, ((0, 0), (HO, HO + (t_padded - T)), (0, 0)))
+    if vd != xp.dtype:
+        xp = xp.astype(vd)  # XLA-side cast: the HBM window rides at vd bytes
 
     kernel = functools.partial(
         _trio_kernel,
         tile_t=tile_t, blocks_meta=tuple(metas), slope=slope,
         window=window, HO=HO, inv_blocks=1.0 / len(blocks),
         precision=None if precision is None else jax.lax.Precision(precision),
+        value_dtype=vd,
     )
     w_inputs = []
-    for blk in blocks:
-        w_inputs += [blk["w1"], blk["b1"], blk["w2"], blk["b2"]]
+    for blk, meta in zip(blocks, metas):
+        w1, w2 = blk["w1"], blk["w2"]
+        if not meta["quant"] and vd != jnp.float32:
+            # pre-cast fp32 weights once in XLA (int8 weights cast in-kernel)
+            w1, w2 = w1.astype(vd), w2.astype(vd)
+        w_inputs += [w1, blk["b1"], w2, blk["b2"]]
+        if meta["quant"]:
+            w_inputs += [jnp.asarray(blk["s1"], jnp.float32),
+                         jnp.asarray(blk["s2"], jnp.float32)]
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles, B),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (4 * len(blocks)),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(w_inputs),
         out_specs=pl.BlockSpec(
             (1, tile_t, C), lambda i, b: (b, i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, t_padded, C), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((window, C), jnp.float32),
+            pltpu.VMEM((window, C), vd),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -345,32 +391,46 @@ def _shift_matmul(src, shifts, w_ref, w_start, rows, precision=None):
     acc = None
     for idx, q in enumerate(shifts):
         piece = jax.lax.slice_in_dim(src, q, q + rows, axis=0)
-        term = jnp.dot(piece, w_ref[w_start + idx],
+        w = w_ref[w_start + idx]
+        if w.dtype != src.dtype:
+            # int8 packed weights (cast is exact: |q| <= 127 in bf16) or
+            # fp32 side arrays meeting a bf16 value buffer
+            w = w.astype(src.dtype)
+        term = jnp.dot(piece, w,
                        preferred_element_type=jnp.float32, precision=precision)
         acc = term if acc is None else acc + term
     return acc
 
 
 def _run_pairs(x, cur, loc, pairs, w1_ref, b1_ref, w2_ref, b2_ref, wr_ref,
-               slot_mask, slope, precision=None):
+               slot_mask, slope, precision=None, value_dtype=jnp.float32,
+               s1_ref=None, s2_ref=None):
     """Run a packed resblock's (conv1, conv2, residual) pair sequence in VMEM.
 
-    ``x`` is a packed (rows, g*C) value; ``slot_mask(rows, base)`` yields the
-    in-sequence mask for a buffer whose row0/slot0 sits ``base`` unpacked
-    steps past the tile origin.  Returns the narrowed (x, cur, loc).
+    ``x`` is a packed (rows, g*C) value carried in ``value_dtype``;
+    ``slot_mask(rows, base)`` yields the in-sequence mask for a buffer whose
+    row0/slot0 sits ``base`` unpacked steps past the tile origin.  When
+    ``s1_ref``/``s2_ref`` per-pair scale rows are given the weight arrays are
+    int8 and the fp32 accumulator is dequantized by one row-broadcast
+    multiply per conv (all shift matrices of a pair share their per-column
+    scales).  Returns the narrowed (x, cur, loc).
     """
     for pr in pairs:
         rows1 = cur - pr["q1max"]
-        h = jnp.where(x >= 0, x, x * slope)
+        h = _leaky(x, slope)
         y1 = _shift_matmul(h, pr["s1"], w1_ref, pr["w1_start"], rows1, precision)
+        if s1_ref is not None:
+            y1 = y1 * s1_ref[pr["idx"]][None, :]
         y1 = y1 + b1_ref[pr["idx"]][None, :].astype(jnp.float32)
         # conv1 output row r slot j sits at loc + g*r + j + h1; re-zero
         # out-of-sequence slots before conv2 reads them
         y1 = jnp.where(slot_mask(rows1, loc + pr["h1"]), y1, 0.0)
 
         rows_new = cur - pr["consumed"]
-        h2v = jnp.where(y1 >= 0, y1, y1 * slope)
+        h2v = jnp.where(y1 >= 0, y1, y1 * slope).astype(value_dtype)
         y2 = _shift_matmul(h2v, pr["s2"], w2_ref, pr["w2_start"], rows_new, precision)
+        if s2_ref is not None:
+            y2 = y2 * s2_ref[pr["idx"]][None, :]
         y2 = y2 + b2_ref[pr["idx"]][None, :]
 
         if pr["res_slice"] is not None:
@@ -382,13 +442,13 @@ def _run_pairs(x, cur, loc, pairs, w1_ref, b1_ref, w2_ref, b2_ref, wr_ref,
         x = res + y2
         cur = rows_new
         loc += pr["h1"] + pr["h2"]
-        x = jnp.where(slot_mask(cur, loc), x, 0.0)
+        x = jnp.where(slot_mask(cur, loc), x, 0.0).astype(value_dtype)
     return x, cur, loc
 
 
 def _packed_kernel(x_hbm, len_ref, w1_ref, b1_ref, w2_ref, b2_ref, wr_ref,
                    out_ref, xwin, sem, *, tile_p, window, g, C, halo, slope, pairs,
-                   precision=None):
+                   precision=None, value_dtype=jnp.float32):
     i = pl.program_id(0)
     b = pl.program_id(1)
 
@@ -411,7 +471,7 @@ def _packed_kernel(x_hbm, len_ref, w1_ref, b1_ref, w2_ref, b2_ref, wr_ref,
 
     x, _, _ = _run_pairs(
         xwin[:], window, 0, pairs, w1_ref, b1_ref, w2_ref, b2_ref, wr_ref,
-        slot_mask, slope, precision,
+        slot_mask, slope, precision, value_dtype,
     )
     # window was rounded up for DMA alignment; keep the first tile_p rows
     out_ref[0] = jax.lax.slice_in_dim(x, 0, tile_p, axis=0).astype(out_ref.dtype)
@@ -491,7 +551,8 @@ def _build_pairs(w1, b1, w2, b2, kernel_size, dilations, g, C,
 
 
 def _fused_resblock_packed(x, w1, b1, w2, b2, *, kernel_size, dilations, slope,
-                           tile_t, lengths, interpret, g, precision=None):
+                           tile_t, lengths, interpret, g, precision=None,
+                           value_dtype=jnp.float32):
     B, T, C = x.shape
     k = kernel_size
     halo = total_halo(k, tuple(dilations))
@@ -522,6 +583,8 @@ def _fused_resblock_packed(x, w1, b1, w2, b2, *, kernel_size, dilations, slope,
     assert pad_back >= 0, (len_padded, T, halo)
     xp = jnp.pad(x, ((0, 0), (halo, pad_back), (0, 0)))
     xp = xp.reshape(B, len_padded // g, g * C)
+    if value_dtype != xp.dtype:
+        xp = xp.astype(value_dtype)
 
     if lengths is None:
         lengths = jnp.full((B,), T, jnp.int32)
@@ -531,8 +594,12 @@ def _fused_resblock_packed(x, w1, b1, w2, b2, *, kernel_size, dilations, slope,
         _packed_kernel,
         tile_p=tile_p, window=window, g=g, C=C, halo=halo, slope=slope,
         pairs=tuple(pairs),  # static metadata only (ints + tuples)
-        precision=precision,
+        precision=precision, value_dtype=value_dtype,
     )
+    if value_dtype != jnp.float32:
+        w1_all = w1_all.astype(value_dtype)
+        w2_all = w2_all.astype(value_dtype)
+        wr_all = wr_all.astype(value_dtype)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles, B),
@@ -550,7 +617,7 @@ def _fused_resblock_packed(x, w1, b1, w2, b2, *, kernel_size, dilations, slope,
         ),
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * tile_p, g * C), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((window, g * C), jnp.float32),
+            pltpu.VMEM((window, g * C), value_dtype),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -576,8 +643,10 @@ def fused_resblock(
     interpret: bool = False,
     packing: int | None = None,  # None = auto: 1 if C%128==0 else 128//C
     precision: str | None = None,  # None=fast bf16 multiplies; "highest"=fp32
+    value_dtype=None,  # VMEM value dtype: None = fp32 exact; bf16 halves traffic
 ) -> jax.Array:
     B, T, C = x.shape
+    vd = jnp.float32 if value_dtype is None else jnp.dtype(value_dtype)
     if packing is None:
         if C % 128 == 0:
             packing = 1
@@ -591,6 +660,7 @@ def fused_resblock(
             dilations=tuple(dilations), slope=slope, tile_t=tile_t,
             lengths=lengths, interpret=interpret, g=packing,
             precision=None if precision is None else jax.lax.Precision(precision),
+            value_dtype=vd,
         )
     halo = total_halo(kernel_size, tuple(dilations))
     tile_t = min(tile_t, max(8, T))
@@ -604,6 +674,9 @@ def fused_resblock(
 
     # zero-pad: halo on both ends + tail-round-up (masked region, trimmed below)
     xp = jnp.pad(x, ((0, 0), (halo, halo + (t_padded - T)), (0, 0)))
+    if vd != xp.dtype:
+        xp = xp.astype(vd)
+        w1, w2 = w1.astype(vd), w2.astype(vd)
 
     kernel = functools.partial(
         _kernel,
@@ -614,6 +687,7 @@ def fused_resblock(
         window=window,
         halo=halo,
         precision=None if precision is None else jax.lax.Precision(precision),
+        value_dtype=vd,
     )
     out = pl.pallas_call(
         kernel,
@@ -633,7 +707,7 @@ def fused_resblock(
         ),
         out_shape=jax.ShapeDtypeStruct((B, t_padded, C), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((window, C), jnp.float32),
+            pltpu.VMEM((window, C), vd),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(

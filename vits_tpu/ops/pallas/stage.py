@@ -35,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vits_tpu.ops.pallas.resblock import (
+    _leaky,
     _materialize_pairs,
     _pairs_plan,
     _run_pairs,
@@ -105,11 +106,21 @@ def _materialize_wave(w, entries, n_mats, g_out, c_out):
 def _stage_kernel(x_hbm, len_ref, wu_ref, bu_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                   wr_ref, *rest, tile_p, window_in, rows_u,
                   g_out, c_out, ho, slope, u_shifts, blocks, inv_blocks,
-                  wave=None, precision=None):
+                  wave=None, precision=None, value_dtype=jnp.float32,
+                  quantized=False):
+    rest = list(rest)
+    wq_ref = rest.pop(0) if wave is not None else None
+    su_ref = s1_ref = s2_ref = sq_ref = None
+    if quantized:
+        su_ref = rest.pop(0)
+        s1_ref = rest.pop(0)
+        s2_ref = rest.pop(0)
+        if wave is not None:
+            sq_ref = rest.pop(0)
     if wave is None:
         out_ref, xwin, sem = rest
     else:
-        wq_ref, wf_ref, xwin, sem = rest
+        wf_ref, xwin, sem = rest
     i = pl.program_id(0)
     b = pl.program_id(1)
 
@@ -131,10 +142,12 @@ def _stage_kernel(x_hbm, len_ref, wu_ref, bu_ref, w1_ref, b1_ref, w2_ref, b2_ref
 
     # --- leaky + transpose-conv upsample (packed shift-matmuls) ----------- #
     xin = xwin[:]
-    h = jnp.where(xin >= 0, xin, xin * slope)
+    h = _leaky(xin, slope)
     xu = _shift_matmul(h, u_shifts, wu_ref, 0, rows_u, precision)
+    if su_ref is not None:
+        xu = xu * su_ref[0][None, :]
     xu = xu + bu_ref[0][None, :]
-    xu = jnp.where(slot_mask(rows_u, 0), xu, 0.0)
+    xu = jnp.where(slot_mask(rows_u, 0), xu, 0.0).astype(value_dtype)
 
     # --- three resblock pair-chains on the SAME VMEM window --------------- #
     # With a fused final conv, keep `halo_rows` extra rows on each side of the
@@ -145,10 +158,11 @@ def _stage_kernel(x_hbm, len_ref, wu_ref, bu_ref, w1_ref, b1_ref, w2_ref, b2_ref
     for blk in blocks:
         xb, _, _ = _run_pairs(
             xu, rows_u, 0, blk["pairs"], w1_ref, b1_ref, w2_ref, b2_ref,
-            wr_ref, slot_mask, slope, precision,
+            wr_ref, slot_mask, slope, precision, value_dtype,
+            s1_ref=s1_ref, s2_ref=s2_ref,
         )
         off = blk["align_off"] - hw
-        xb = jax.lax.slice_in_dim(xb, off, off + keep, axis=0)
+        xb = jax.lax.slice_in_dim(xb, off, off + keep, axis=0).astype(jnp.float32)
         acc = xb if acc is None else acc + xb
     acc = acc * inv_blocks
 
@@ -159,13 +173,18 @@ def _stage_kernel(x_hbm, len_ref, wu_ref, bu_ref, w1_ref, b1_ref, w2_ref, b2_ref
     # --- fused conv_post: leaky(0.01) -> k-tap conv -> tanh -> mask ------- #
     # acc rows cover tile steps [-hw .. tile_p+hw); wave sample (row r,
     # slot s) = tanh(sum_q shift_q(leaky(acc)) @ Wq), masked to valid_out.
-    hl = jnp.where(acc >= 0, acc, acc * 0.01)
+    hl = jnp.where(acc >= 0, acc, acc * 0.01).astype(value_dtype)
     yw = None
     for qi, q in enumerate(wave["shifts"]):
         piece = jax.lax.slice_in_dim(hl, q + hw, q + hw + tile_p, axis=0)
-        term = jnp.dot(piece, wq_ref[qi], preferred_element_type=jnp.float32,
+        w = wq_ref[qi]
+        if w.dtype != piece.dtype:
+            w = w.astype(piece.dtype)
+        term = jnp.dot(piece, w, preferred_element_type=jnp.float32,
                        precision=precision)
         yw = term if yw is None else yw + term
+    if sq_ref is not None:
+        yw = yw * sq_ref[0][None, :]
     yw = jnp.tanh(yw)  # (tile_p, g_out)
     pos = (
         jax.lax.broadcasted_iota(jnp.int32, (tile_p, g_out), 0) * g_out
@@ -266,13 +285,74 @@ def _materialize_stage(meta, up_weight, up_bias, resblocks, final_w=None):
     return out
 
 
+def _quantize_group(mats, slots: int = 1):
+    """(n, R, cols) fp32 -> int8 + one fp32 scale per column.
+
+    ``slots``: packed-layout column structure cols == slots * C (slot-major).
+    The scale is computed per OUT-CHANNEL (max over all slots that carry it)
+    and broadcast back per column, so the scheme is numerically identical to
+    the classic raw-weight per-out-channel symmetric quantization
+    (io/quantize.py) — pinned by the tests against an XLA reference running
+    channel-dequantized raw weights."""
+    absmax = jnp.max(jnp.abs(mats), axis=(0, 1))
+    if slots > 1:
+        c = absmax.shape[0] // slots
+        absmax = jnp.tile(jnp.max(absmax.reshape(slots, c), axis=0), slots)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0).astype(jnp.float32)
+    q = jnp.clip(jnp.round(mats / scale[None, None, :]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _quantize_stage_arrays(arrays: dict, meta: dict) -> dict:
+    """int8-quantize the packed MXU weights; dequant rides the accumulator.
+
+    Sum-groups (the matrices whose partial products land in ONE fp32
+    accumulator) must share scales: each resblock pair's conv is one group,
+    the transpose-conv is one group, the fused conv_post is one group.  The
+    residual block-permutation matrices (wr_all: exact 0/1 entries) stay in
+    bf16 — quantizing identities buys nothing.
+    """
+    out = dict(arrays)
+    pairs = [pr for blk in meta["blocks"] for pr in blk["pairs"]]
+    npairs = len(pairs)
+    gc = arrays["w1_all"].shape[1]
+    g_out = gc // meta["C_out"]
+    for w_key, start_key, shifts_key, s_key in (
+        ("w1_all", "w1_start", "s1", "s1"),
+        ("w2_all", "w2_start", "s2", "s2"),
+    ):
+        mats = arrays[w_key]
+        q_parts, scales = [], [None] * npairs
+        for pr in sorted(pairs, key=lambda p: p[start_key]):
+            seg = mats[pr[start_key] : pr[start_key] + len(pr[shifts_key])]
+            q, s = _quantize_group(seg, slots=g_out)
+            q_parts.append(q)
+            scales[pr["idx"]] = s
+        out[w_key] = jnp.concatenate(q_parts, axis=0)
+        out[s_key] = jnp.stack(scales)  # (npairs, gC), indexed by pr["idx"]
+        assert out[w_key].shape == mats.shape and out[s_key].shape == (npairs, gc)
+    qu, su = _quantize_group(arrays["wu"], slots=g_out)
+    out["wu"], out["su"] = qu, su[None, :]
+    if "wq" in arrays:
+        qq, sq = _quantize_group(arrays["wq"], slots=g_out)
+        out["wq"], out["sq"] = qq, sq[None, :]
+    out["wr_all"] = arrays["wr_all"].astype(jnp.bfloat16)
+    return out
+
+
 def pack_stage_arrays(
     up_weight, up_bias, resblocks, *, stride, up_padding, final_conv=None,
+    weight_format: str = "float32",  # "float32" | "bfloat16" | "int8"
 ) -> dict:
     """Load-time packing: the arrays fused_stage(arrays=...) consumes.
 
     Call OUTSIDE jit (eagerly, on concrete weights) so the shift-matrix
-    scatters run once instead of on every dispatch.
+    scatters run once instead of on every dispatch.  ``weight_format``
+    controls the HBM/VMEM bytes per packed entry: "bfloat16" halves weight
+    traffic (fp32 accumulation on the MXU is unchanged); "int8" quarters it
+    and adds per-column ``su``/``s1``/``s2``(/``sq``) scale rows that the
+    kernel applies to the fp32 accumulators (the packed layout makes
+    per-column == per-out-channel, matching io/quantize.py's scheme).
     """
     k_up, C_in, C_out = up_weight.shape
     meta = _stage_plan(
@@ -281,9 +361,18 @@ def pack_stage_arrays(
         final=(None if final_conv is None
                else (final_conv[0].shape[0], final_conv[1])),
     )
-    return _materialize_stage(
+    arrays = _materialize_stage(
         meta, up_weight, up_bias, resblocks,
         None if final_conv is None else final_conv[0])
+    if weight_format == "bfloat16":
+        for key in ("wu", "w1_all", "w2_all", "wr_all", "wq"):
+            if key in arrays:
+                arrays[key] = arrays[key].astype(jnp.bfloat16)
+    elif weight_format == "int8":
+        arrays = _quantize_stage_arrays(arrays, meta)
+    elif weight_format != "float32":
+        raise ValueError(f"unknown weight_format {weight_format!r}")
+    return arrays
 
 
 def fused_stage(
@@ -302,9 +391,12 @@ def fused_stage(
     packed_in: int | None = None,  # logical T_in when x is ALREADY packed (B, R, 128)
     packed_out: bool = False,  # skip the unpack reshape; return (B, rows, 128)
     arrays: dict | None = None,  # pre-packed weights from pack_stage_arrays
+    #   (int8-format arrays carry su/s1/s2/sq scale rows; detected here)
     final_conv: tuple | None = None,  # (weight (k, C_out, 1), padding): fuse
     #   leaky(0.01) -> conv_post -> tanh -> mask and return the WAVEFORM
     #   (B, T_out) instead of the stage output (terminal stage only).
+    value_dtype=None,  # VMEM value dtype: None = fp32 (exact parity mode);
+    #   jnp.bfloat16 halves window traffic + sublane-relayout bytes
 ) -> jax.Array:
     """One fused vocoder stage.
 
@@ -336,10 +428,18 @@ def fused_stage(
     )
     ho, hi = meta["ho"], meta["hi"]
     blocks, wave, u_shifts = meta["blocks"], meta["wave"], meta["u_shifts"]
+    vd = jnp.float32 if value_dtype is None else jnp.dtype(value_dtype)
     if arrays is None:
         arrays = _materialize_stage(
             meta, up_weight, up_bias, resblocks,
             None if final_conv is None else final_conv[0])
+        if vd != jnp.float32:
+            arrays = {
+                k: (v.astype(vd) if k in ("wu", "w1_all", "w2_all", "wr_all", "wq")
+                    else v)
+                for k, v in arrays.items()
+            }
+    quantized = "su" in arrays
     wu, bu = arrays["wu"], arrays["bu"]
     w1_all, b1_all = arrays["w1_all"], arrays["b1_all"]
     w2_all, b2_all = arrays["w2_all"], arrays["b2_all"]
@@ -371,6 +471,8 @@ def fused_stage(
         assert pad_back >= 0, (len_in_padded, T_in, hi)
         xp = jnp.pad(x, ((0, 0), (hi, pad_back), (0, 0)))
         xp = xp.reshape(B, in_rows_total, g_in * C_in)
+    if vd != xp.dtype:
+        xp = xp.astype(vd)  # XLA-side cast: window DMA rides at vd bytes
 
     if lengths is None:
         lengths = jnp.full((B,), T_in, jnp.int32)
@@ -383,23 +485,31 @@ def fused_stage(
         u_shifts=u_shifts, blocks=tuple(blocks),
         inv_blocks=1.0 / len(blocks), wave=wave,
         precision=None if precision is None else jax.lax.Precision(precision),
+        value_dtype=vd, quantized=quantized,
     )
-    vmem_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),
         pl.BlockSpec(memory_space=pltpu.SMEM),
-    ] + vmem_specs
+    ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
     inputs = [xp, len_out, wu, bu, w1_all, b1_all, w2_all, b2_all, wr_all]
+    if wave is not None:
+        inputs.append(wq)
+    if quantized:
+        inputs += [arrays["su"], arrays["s1"], arrays["s2"]]
+        if wave is not None:
+            inputs.append(arrays["sq"])
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(inputs) - 9)
+    # Non-chained stage outputs stay fp32 for the XLA consumers; the packed
+    # carry between chained fused stages rides the value dtype.
+    out_dtype = vd if packed_out else jnp.float32
     if wave is None:
         out_specs = pl.BlockSpec(
             (1, tile_p, g_out * C_out), lambda i, b: (b, i, 0),
             memory_space=pltpu.VMEM,
         )
         out_shape = jax.ShapeDtypeStruct(
-            (B, n_tiles * tile_p, g_out * C_out), x.dtype)
+            (B, n_tiles * tile_p, g_out * C_out), out_dtype)
     else:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        inputs.append(wq)
         # (rows, g_out) lanes: Mosaic cannot re-mix sublanes into lanes
         # in-kernel, so the sample-major flatten happens host-side.
         out_specs = pl.BlockSpec(
@@ -407,7 +517,7 @@ def fused_stage(
             memory_space=pltpu.VMEM,
         )
         out_shape = jax.ShapeDtypeStruct(
-            (B, n_tiles * tile_p, g_out), x.dtype)
+            (B, n_tiles * tile_p, g_out), jnp.float32)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles, B),
@@ -415,7 +525,7 @@ def fused_stage(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((window_in, g_in * C_in), jnp.float32),
+            pltpu.VMEM((window_in, g_in * C_in), vd),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(

@@ -1,0 +1,287 @@
+"""Trainable fused resblock trio: Pallas forward + custom VJP.
+
+Round 2 left training XLA-only — the fused vocoder kernels had no gradient
+path, so the GAN step paid ~2x on the generator forward at realistic segment
+lengths (round-2 verdict, Weak #4).  This module closes the WIDE-stage half
+(C % 128 == 0 — where the channel-square conv FLOPs live):
+
+  * ``_trio_train_kernel`` — the whole-stage trio forward in one VMEM pass,
+    like ops/pallas/resblock.py::_trio_kernel, but additionally WRITING the
+    intermediate activations the backward needs (each pair's input ``x_i``
+    and pre-activation conv1 output ``y1_i``).  Emitting them costs HBM
+    writes the XLA autodiff forward pays anyway (its saved residuals); the
+    kernel still wins the fused elementwise work and the single input DMA.
+  * ``trainable_trio`` — ``jax.custom_vjp``: forward = the kernel above;
+    backward = the EXACT reverse chain in XLA, built from per-conv
+    ``jax.vjp`` pullbacks over the saved activations — no recompute of the
+    forward convs, so the step cost matches standard autodiff with a faster
+    forward.  Gradients match XLA autodiff of the reference trio to fp32
+    tolerance (pinned in tests/test_trio_grad.py).
+
+Training segments are unmasked (train/step.py decodes random fixed-length
+slices), so this path intentionally supports ``lengths=None`` only; the
+engine's masked inference path stays on the inference kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vits_tpu.ops.conv import conv1d, leaky_relu
+from vits_tpu.ops.pallas.resblock import total_halo
+
+
+def _leaky_grad(x, slope):
+    return jnp.where(x >= 0, 1.0, slope)
+
+
+def _trio_train_kernel(x_hbm, *rest, tile_t, blocks_meta, slope, window,
+                       HO, inv_blocks, T, precision=None):
+    n = len(blocks_meta)
+    w_refs = rest[: 4 * n]
+    outs = rest[4 * n : -2]
+    xwin, sem = rest[-2:]
+    out_ref = outs[0]
+    act_refs = outs[1:]  # per block: y1 x pairs, then x_i x (pairs-1)
+    i = pl.program_id(0)
+    b = pl.program_id(1)
+
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * tile_t, window), :], xwin, sem
+    )
+    dma.start()
+    dma.wait()
+
+    def in_seq(rows, base):
+        g = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) + (i * tile_t + base)
+        return (g >= HO) & (g < HO + T)
+
+    acc = None
+    ref_pos = 0
+    for blk_i, meta in enumerate(blocks_meta):
+        w1_ref, b1_ref, w2_ref, b2_ref = w_refs[4 * blk_i : 4 * blk_i + 4]
+        pairs = len(meta["dilations"])
+        y1_refs = act_refs[ref_pos : ref_pos + pairs]
+        xi_refs = act_refs[ref_pos + pairs : ref_pos + 2 * pairs - 1]
+        ref_pos += 2 * pairs - 1
+        k = meta["kernel_size"]
+        x = xwin[:]
+        cur_len = window
+        offset = 0
+        for pair, dilation in enumerate(meta["dilations"]):
+            h1 = dilation * (k - 1) // 2
+            h2 = (k - 1) // 2
+            mid_len = cur_len - 2 * h1
+            out_len = mid_len
+            out_len = mid_len - 2 * h2
+
+            if pair > 0:
+                # save this pair's input (global tile slice) for the backward
+                xi_refs[pair - 1][0] = jax.lax.slice_in_dim(
+                    x, HO - offset, HO - offset + tile_t, axis=0
+                ).astype(xi_refs[pair - 1].dtype)
+
+            h = jnp.where(x >= 0, x, x * slope)
+            acc1 = None
+            for tap in range(k):
+                piece = jax.lax.slice_in_dim(
+                    h, tap * dilation, tap * dilation + mid_len, axis=0)
+                term = jnp.dot(piece, w1_ref[pair, tap],
+                               preferred_element_type=jnp.float32,
+                               precision=precision)
+                acc1 = term if acc1 is None else acc1 + term
+            y1 = acc1 + b1_ref[pair][None, :].astype(jnp.float32)
+            y1 = jnp.where(in_seq(mid_len, offset + h1), y1, 0.0)
+            y1_refs[pair][0] = jax.lax.slice_in_dim(
+                y1, HO - offset - h1, HO - offset - h1 + tile_t, axis=0
+            ).astype(y1_refs[pair].dtype)
+
+            h2v = jnp.where(y1 >= 0, y1, y1 * slope)
+            acc2 = None
+            for tap in range(k):
+                piece = jax.lax.slice_in_dim(h2v, tap, tap + out_len, axis=0)
+                term = jnp.dot(piece, w2_ref[pair, tap],
+                               preferred_element_type=jnp.float32,
+                               precision=precision)
+                acc2 = term if acc2 is None else acc2 + term
+            y2 = acc2 + b2_ref[pair][None, :]
+
+            local = h1 + h2
+            offset += local
+            x = jax.lax.slice_in_dim(x, local, local + out_len, axis=0) + y2
+            cur_len = out_len
+            x = jnp.where(in_seq(cur_len, offset), x, 0.0)
+
+        xb = jax.lax.slice_in_dim(
+            x, HO - meta["halo"], HO - meta["halo"] + tile_t, axis=0)
+        acc = xb if acc is None else acc + xb
+    out_ref[0] = (acc * inv_blocks).astype(out_ref.dtype)
+
+
+def _trio_forward_with_acts(x, weights, metas, slope, tile_t, interpret,
+                            precision):
+    """Run the activation-saving trio kernel.
+
+    ``weights``: tuple per block of (w1, b1, w2, b2).  Returns
+    (out (B,T,C), acts) with acts = per block ([y1_i x pairs], [x_i x pairs-1]),
+    every tensor (B, T, C).
+    """
+    B, T, C = x.shape
+    HO = max(m["halo"] for m in metas)
+    tile = min(tile_t, max(8, T))
+    n_tiles = math.ceil(T / tile)
+    t_padded = n_tiles * tile
+    window = tile + 2 * HO
+    xp = jnp.pad(x, ((0, 0), (HO, HO + (t_padded - T)), (0, 0)))
+
+    kernel = functools.partial(
+        _trio_train_kernel,
+        tile_t=tile, blocks_meta=tuple(metas), slope=slope, window=window,
+        HO=HO, inv_blocks=1.0 / len(metas), T=T,
+        precision=None if precision is None else jax.lax.Precision(precision),
+    )
+    w_inputs = []
+    for blk in weights:
+        w_inputs += list(blk)
+    n_acts = sum(2 * len(m["dilations"]) - 1 for m in metas)
+    out_shapes = [jax.ShapeDtypeStruct((B, t_padded, C), x.dtype)] * (1 + n_acts)
+    out_specs = [
+        pl.BlockSpec((1, tile, C), lambda i, b: (b, i, 0),
+                     memory_space=pltpu.VMEM)
+    ] * (1 + n_acts)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, B),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(w_inputs),
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((window, C), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp, *w_inputs)
+    out = outs[0][:, :T]
+    acts, pos = [], 1
+    for m in metas:
+        pairs = len(m["dilations"])
+        y1s = [o[:, :T] for o in outs[pos : pos + pairs]]
+        xis = [o[:, :T] for o in outs[pos + pairs : pos + 2 * pairs - 1]]
+        acts.append((y1s, xis))
+        pos += 2 * pairs - 1
+    return out, acts
+
+
+def make_trainable_trio(
+    blocks_meta: Sequence[dict],  # per block: {kernel_size, dilations}
+    *,
+    slope: float,
+    tile_t: int = 2048,
+    interpret: bool = False,
+    precision: str | None = None,
+):
+    """Build a differentiable fused-trio function for a fixed block geometry.
+
+    Returns ``f(x, weights) -> (B, T, C)`` where ``weights`` is a tuple per
+    block of (w1 (pairs,k,C,C), b1 (pairs,C), w2, b2); ``jax.grad`` through
+    ``f`` matches XLA autodiff of the mean-of-resblocks reference.
+    """
+    metas = []
+    for m in blocks_meta:
+        metas.append({
+            "kernel_size": int(m["kernel_size"]),
+            "dilations": tuple(int(d) for d in m["dilations"]),
+            "halo": total_halo(m["kernel_size"], tuple(m["dilations"])),
+        })
+
+    @jax.custom_vjp
+    def trio(x, weights):
+        out, _ = _trio_forward_with_acts(
+            x, weights, metas, slope, tile_t, interpret, precision)
+        return out
+
+    def fwd(x, weights):
+        out, acts = _trio_forward_with_acts(
+            x, weights, metas, slope, tile_t, interpret, precision)
+        return out, (x, weights, acts)
+
+    def bwd(res, g):
+        x, weights, acts = res
+        inv = 1.0 / len(metas)
+        dx_total = None
+        dweights = []
+        for meta, blk, (y1s, xis) in zip(metas, weights, acts):
+            w1, b1, w2, b2 = blk
+            k = meta["kernel_size"]
+            dw1 = jnp.zeros_like(w1)
+            db1 = jnp.zeros_like(b1)
+            dw2 = jnp.zeros_like(w2)
+            db2 = jnp.zeros_like(b2)
+            dx = g * inv  # d(mean)/d(block output)
+            for pair in reversed(range(len(meta["dilations"]))):
+                dilation = meta["dilations"][pair]
+                x_in = x if pair == 0 else xis[pair - 1]
+                y1 = y1s[pair]
+                pad1 = (k * dilation - dilation) // 2
+                pad2 = (k - 1) // 2
+
+                # x_out = x_in + conv2(leaky(y1)) + b2
+                dy2 = dx
+                db2 = db2.at[pair].add(jnp.sum(dy2, axis=(0, 1)))
+                h2 = leaky_relu(y1, slope)
+                _, pb_w2 = jax.vjp(
+                    lambda w: conv1d(h2, w, None, padding=pad2), w2[pair])
+                (dw2_p,) = pb_w2(dy2)
+                dw2 = dw2.at[pair].add(dw2_p)
+                _, pb_h2 = jax.vjp(
+                    lambda h: conv1d(h, w2[pair], None, padding=pad2), h2)
+                (dh2,) = pb_h2(dy2)
+                dy1 = dh2 * _leaky_grad(y1, slope)
+
+                # y1 = conv1(leaky(x_in)) + b1
+                db1 = db1.at[pair].add(jnp.sum(dy1, axis=(0, 1)))
+                h1v = leaky_relu(x_in, slope)
+                _, pb_w1 = jax.vjp(
+                    lambda w: conv1d(h1v, w, None, padding=pad1,
+                                     dilation=dilation), w1[pair])
+                (dw1_p,) = pb_w1(dy1)
+                dw1 = dw1.at[pair].add(dw1_p)
+                _, pb_h1 = jax.vjp(
+                    lambda h: conv1d(h, w1[pair], None, padding=pad1,
+                                     dilation=dilation), h1v)
+                (dh1,) = pb_h1(dy1)
+                dx = dx + dh1 * _leaky_grad(x_in, slope)
+            dx_total = dx if dx_total is None else dx_total + dx
+            dweights.append((dw1, db1, dw2, db2))
+        return dx_total, tuple(dweights)
+
+    trio.defvjp(fwd, bwd)
+    return trio
+
+
+def xla_trio_reference(x, weights, blocks_meta, slope):
+    """Mean of xla-resblock outputs — the autodiff oracle for tests."""
+    out = None
+    for meta, (w1, b1, w2, b2) in zip(blocks_meta, weights):
+        k = meta["kernel_size"]
+        xx = x
+        for i, d in enumerate(meta["dilations"]):
+            res = xx
+            h = leaky_relu(xx, slope)
+            h = conv1d(h, w1[i], b1[i], padding=(k * d - d) // 2, dilation=d)
+            h = leaky_relu(h, slope)
+            h = conv1d(h, w2[i], b2[i], padding=(k - 1) // 2)
+            xx = h + res
+        out = xx if out is None else out + xx
+    return out / len(blocks_meta)

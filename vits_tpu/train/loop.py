@@ -24,6 +24,11 @@ def train(
     steps: int = 100_000,
     batch_size: int = 16,
     learning_rate: float = 2e-4,
+    disc_learning_rate: float | None = None,  # None = same as generator.
+    #   A LOWER D lr is the standard rebalance when the discriminator
+    #   saturates (disc_loss -> 0, adversarial gradient starves) — the
+    #   round-2 convergence artifact showed exactly that on the synthetic
+    #   micro-corpus.
     segment_frames: int = 32,
     checkpoint_every: int = 2000,
     log_every: int = 50,
@@ -76,7 +81,10 @@ def train(
     mesh = make_mesh(data=n_dev // model_parallel, model=model_parallel)
     steps_per_epoch = max(len(dataset) // batch_size, 1)
     gen_opt = vits_optimizer(learning_rate, steps_per_epoch=steps_per_epoch)
-    disc_opt = vits_optimizer(learning_rate, steps_per_epoch=steps_per_epoch)
+    disc_opt = vits_optimizer(
+        disc_learning_rate if disc_learning_rate is not None else learning_rate,
+        steps_per_epoch=steps_per_epoch,
+    )
     ema = ParamEMA()
 
     with mesh:

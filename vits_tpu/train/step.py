@@ -63,6 +63,7 @@ def generator_forward(
     segment_frames: int = 32,
     mel_weight: float = 45.0,
     mel_kwargs: Optional[dict] = None,
+    use_pallas: bool = False,
 ):
     """Forward pass with reconstruction losses.
 
@@ -117,7 +118,11 @@ def generator_forward(
     frame_lengths = jnp.sum(batch.frame_mask, axis=-1).astype(jnp.int32)
     starts = random_segment_starts(k_seg, frame_lengths, segment_frames)
     z_slice = slice_segments(z, starts, segment_frames)
-    wave_hat = hifigan(p, config, z_slice, None, speaker_embeddings)
+    # use_pallas: wide vocoder stages run the custom-VJP fused trio kernel
+    # (ops/pallas/trio_grad.py) — fused forward, exact XLA backward over the
+    # kernel-saved activations.  Round 2 trained XLA-only here.
+    wave_hat = hifigan(p, config, z_slice, None, speaker_embeddings,
+                       use_pallas=use_pallas, trainable=True)
 
     up = config.total_upsample
     audio_slices = slice_segments(
@@ -140,11 +145,19 @@ def generator_loss(
     segment_frames: int = 32,
     mel_weight: float = 45.0,
     mel_kwargs: Optional[dict] = None,
+    use_pallas: bool = False,
 ):
     total, metrics, _, _ = generator_forward(
-        params, config, batch, rng, segment_frames, mel_weight, mel_kwargs
+        params, config, batch, rng, segment_frames, mel_weight, mel_kwargs,
+        use_pallas=use_pallas,
     )
     return total, metrics
+
+
+def _resolve_use_pallas(use_pallas):
+    if use_pallas is None:
+        return jax.default_backend() == "tpu"
+    return use_pallas
 
 
 def make_train_step(
@@ -154,17 +167,20 @@ def make_train_step(
     mel_weight: float = 45.0,
     mel_kwargs: Optional[dict] = None,
     donate: bool = True,
+    use_pallas: Optional[bool] = None,  # None = auto (on for TPU backends)
 ):
     """Build a jitted (params, opt_state, batch, rng) -> (params, opt_state, metrics).
 
     Pass params/opt_state placed on a mesh (vits_tpu.parallel.mesh.shard_params)
     and a batch sharded over the 'data' axis; XLA handles the rest.
     """
+    use_pallas = _resolve_use_pallas(use_pallas)
 
     def step(params, opt_state, batch: TrainBatch, rng):
         (_, metrics), grads = jax.value_and_grad(
             lambda prm: generator_loss(
-                prm, config, batch, rng, segment_frames, mel_weight, mel_kwargs
+                prm, config, batch, rng, segment_frames, mel_weight, mel_kwargs,
+                use_pallas=use_pallas,
             ),
             has_aux=True,
         )(params)
@@ -196,6 +212,7 @@ def make_gan_train_step(
     mel_kwargs: Optional[dict] = None,
     donate: bool = True,
     reuse_forward: bool = True,
+    use_pallas: Optional[bool] = None,  # None = auto (on for TPU backends)
 ):
     """Full adversarial VITS step: discriminator update, then generator update.
 
@@ -217,6 +234,8 @@ def make_gan_train_step(
         generator_adversarial_loss,
     )
 
+    use_pallas = _resolve_use_pallas(use_pallas)
+
     def _update_d(disc_params, disc_opt_state, wave_real, wave_fake):
         def d_loss_fn(dp):
             real_logits, _ = discriminate(dp, wave_real)
@@ -233,7 +252,8 @@ def make_gan_train_step(
         # ---- ONE generator forward, vjp captured ------------------------ #
         def gen_fn(gp):
             recon, metrics, fake, real = generator_forward(
-                gp, config, batch, rng, segment_frames, mel_weight, mel_kwargs
+                gp, config, batch, rng, segment_frames, mel_weight, mel_kwargs,
+                use_pallas=use_pallas,
             )
             # `real` is sliced from batch.audio (no gp dependence): aux.
             return (recon, fake), (metrics, real)
@@ -270,7 +290,8 @@ def make_gan_train_step(
     def step_naive(gen_params, disc_params, gen_opt_state, disc_opt_state, batch, rng):
         # ---- generator forward (no grad yet) for the D update ---------- #
         _, _, wave_fake, wave_real = generator_forward(
-            gen_params, config, batch, rng, segment_frames, mel_weight, mel_kwargs
+            gen_params, config, batch, rng, segment_frames, mel_weight, mel_kwargs,
+            use_pallas=use_pallas,
         )
         disc_params, disc_opt_state, d_loss = _update_d(
             disc_params, disc_opt_state, wave_real, jax.lax.stop_gradient(wave_fake)
@@ -279,7 +300,8 @@ def make_gan_train_step(
         # ---- generator update through the updated discriminator -------- #
         def g_loss_fn(gp):
             recon, metrics, fake, real = generator_forward(
-                gp, config, batch, rng, segment_frames, mel_weight, mel_kwargs
+                gp, config, batch, rng, segment_frames, mel_weight, mel_kwargs,
+                use_pallas=use_pallas,
             )
             real_logits, real_feats = discriminate(disc_params, real)
             fake_logits, fake_feats = discriminate(disc_params, fake)

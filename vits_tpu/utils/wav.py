@@ -32,6 +32,22 @@ def write_wav(dest: str | BinaryIO, audio: np.ndarray, sample_rate: int = 16000)
         dest.write(data)
 
 
+def streaming_wav_header(sample_rate: int = 16000) -> bytes:
+    """WAV header for a live stream of unknown length.
+
+    RIFF/data sizes are set to 0xFFFFFFFF (the de-facto convention for
+    streamed WAV: players read PCM until the transport closes); the fmt
+    block matches :func:`write_wav` (16-bit mono).
+    """
+    header = b"RIFF"
+    header += struct.pack("<I", 0xFFFFFFFF)
+    header += b"WAVEfmt "
+    header += struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    header += b"data"
+    header += struct.pack("<I", 0xFFFFFFFF)
+    return header
+
+
 def read_wav(path: str) -> tuple[np.ndarray, int]:
     """Minimal reader for round-trip tests: returns (float32 audio, rate)."""
     with open(path, "rb") as f:
