@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--frames", type=int, default=128)
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--update-detail", action="store_true")
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="disable the custom-VJP fused trio in the generator "
+                         "forward (round-3 default: on for TPU)")
     args = ap.parse_args()
 
     import jax
@@ -64,15 +67,22 @@ def main():
 
     def timed(step_fn, carry_init, n):
         carry = carry_init()
-        jax.block_until_ready(carry[-1])
+        # a REAL device_get: through the tunneled TPU, block_until_ready
+        # returns at RPC ack, not device completion (BENCH_DETAIL
+        # measurement_methodology) — only fetches synchronize.
+        np.asarray(jax.tree.leaves(carry[-1])[0])
         t0 = time.perf_counter()
         for _ in range(n):
             carry = step_fn(carry)
-        jax.block_until_ready(carry[-1])
+        np.asarray(jax.tree.leaves(carry[-1])[0])
         return (time.perf_counter() - t0) / n * 1000
 
+    use_pallas = False if args.no_pallas else None  # None = auto (TPU on)
+    results["use_pallas"] = bool(
+        jax.default_backend() == "tpu" if use_pallas is None else use_pallas)
+
     # generator-only step
-    g_step = make_train_step(config, gen_opt, donate=False)
+    g_step = make_train_step(config, gen_opt, donate=False, use_pallas=use_pallas)
     g_opt_state = gen_opt.init(gen_params)
 
     def g_init():
@@ -85,7 +95,8 @@ def main():
     results["gen_step_ms"] = round(timed(g_run, g_init, args.steps), 2)
 
     # full GAN step (single generator forward via vjp pullback)
-    gan_step = make_gan_train_step(config, gen_opt, disc_opt, donate=False)
+    gan_step = make_gan_train_step(config, gen_opt, disc_opt, donate=False,
+                                   use_pallas=use_pallas)
     gp_state = gen_opt.init(gen_params)
     dp_state = disc_opt.init(disc_params)
 

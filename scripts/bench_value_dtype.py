@@ -22,8 +22,8 @@ import numpy as np
 def _mel_l1(a, b, rate):
     from vits_tpu.utils.mel import log_mel_spectrogram
 
-    ma = np.asarray(log_mel_spectrogram(a, sample_rate=rate))
-    mb = np.asarray(log_mel_spectrogram(b, sample_rate=rate))
+    ma = np.asarray(log_mel_spectrogram(a[None], sample_rate=rate))
+    mb = np.asarray(log_mel_spectrogram(b[None], sample_rate=rate))
     return float(np.mean(np.abs(ma - mb)))
 
 

@@ -156,7 +156,12 @@ def generator_loss(
 
 def _resolve_use_pallas(use_pallas):
     if use_pallas is None:
-        return jax.default_backend() == "tpu"
+        # Auto-on only for single-chip TPU training: under a multi-device
+        # mesh the train step runs plain jit+GSPMD, which treats Pallas
+        # custom-calls as unpartitionable (it would all-gather the batch and
+        # replicate the kernel per chip).  Multi-chip callers can still force
+        # use_pallas=True knowingly.
+        return jax.default_backend() == "tpu" and len(jax.devices()) == 1
     return use_pallas
 
 
