@@ -203,3 +203,38 @@ def test_trainable_trio_grads_compiled():
     rx = jax.grad(lambda x: jnp.sum(jnp.sin(
         xla_trio_reference(x, weights, METAS, SLOPE))))(x)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=1e-4)
+
+
+def test_trainable_attention_grads_compiled():
+    """Flash backward kernel on chip: all five gradients match XLA autodiff
+    at highest precision (round-2 verdict item 4's attention half)."""
+    from vits_tpu.ops.pallas.attention_grad import (
+        make_trainable_attention,
+        xla_rel_attention,
+    )
+
+    rng = np.random.default_rng(0)
+    B, H, L, d, w = 2, 2, 512, 96, 4
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.5, jnp.float32)
+    q, k, v = mk(B, H, L, d), mk(B, H, L, d), mk(B, H, L, d)
+    rk, rv = mk(2 * w + 1, d), mk(2 * w + 1, d)
+    lens = jnp.asarray([500, 512], jnp.int32)
+    g0 = mk(B, H, L, d)
+    keep = (jnp.arange(L)[None, :] < lens[:, None]).astype(jnp.float32)
+    g0 = g0 * keep[:, None, :, None]
+
+    attn = make_trainable_attention(window=w, precision="highest")
+    got = jax.jit(jax.grad(
+        lambda *a: jnp.sum(attn(*a, lens) * g0), argnums=(0, 1, 2, 3, 4)
+    ))(q, k, v, rk, rv)
+    with jax.default_matmul_precision("highest"):
+        want = jax.jit(jax.grad(
+            lambda *a: jnp.sum(xla_rel_attention(*a, w, lens) * g0),
+            argnums=(0, 1, 2, 3, 4),
+        ))(q, k, v, rk, rv)
+    m = np.asarray(keep)[:, None, :, None]
+    for g, wt in zip(got, want):
+        g, wt = np.asarray(g), np.asarray(wt)
+        if g.ndim == 4:
+            g, wt = g * m, wt * m
+        np.testing.assert_allclose(g, wt, atol=5e-3, rtol=1e-4)

@@ -34,7 +34,7 @@ class EncoderOutput(NamedTuple):
 
 def _attention(p: ParamView, x: jax.Array, attn_bias: jax.Array | None, config: VitsConfig,
                use_pallas: bool = False, lengths: jax.Array | None = None,
-               pallas_precision: str | None = None):
+               pallas_precision: str | None = None, trainable: bool = False):
     """Multi-head self-attention with relative position bias (window_size).
 
     x: (B, T, H); attn_bias: additive (B, 1, T, T) mask or None.
@@ -60,12 +60,22 @@ def _attention(p: ParamView, x: jax.Array, attn_bias: jax.Array | None, config: 
         def shape4(t):  # (B, T, H) -> (B, heads, T, head_dim)
             return t.reshape(bsz, tgt_len, num_heads, head_dim).transpose(0, 2, 1, 3)
 
-        attn4 = flash_rel_attention(
-            shape4(query), shape4(key), shape4(value),
-            p["emb_rel_k"][0], p["emb_rel_v"][0],
-            window=config.window_size, lengths=lengths,
-            precision=pallas_precision,
-        )
+        if trainable:
+            # gradient path: flash forward + flash backward (custom VJP,
+            # ops/pallas/attention_grad.py) — used by the training step
+            from vits_tpu.ops.pallas.attention_grad import make_trainable_attention
+
+            attn4 = make_trainable_attention(
+                window=config.window_size, precision=pallas_precision,
+            )(shape4(query), shape4(key), shape4(value),
+              p["emb_rel_k"][0], p["emb_rel_v"][0], lengths)
+        else:
+            attn4 = flash_rel_attention(
+                shape4(query), shape4(key), shape4(value),
+                p["emb_rel_k"][0], p["emb_rel_v"][0],
+                window=config.window_size, lengths=lengths,
+                precision=pallas_precision,
+            )
         attn_output = attn4.transpose(0, 2, 1, 3).reshape(bsz, tgt_len, embed_dim)
         return attn_output @ p["out_proj.weight"] + p["out_proj.bias"]
 
@@ -131,6 +141,7 @@ def text_encoder(
     attention_mask: jax.Array | None = None,  # (B, T) float, 1 = keep
     use_pallas: bool = False,
     pallas_precision: str | None = None,
+    trainable: bool = False,
 ) -> EncoderOutput:
     p = params.sub("text_encoder")
     hidden = jnp.take(p["embed_tokens.weight"], input_ids, axis=0)
@@ -152,7 +163,8 @@ def text_encoder(
         residual = hidden
         attn_out = _attention(layer.sub("attention"), hidden, attn_bias, config,
                               use_pallas=use_pallas, lengths=lengths,
-                              pallas_precision=pallas_precision)
+                              pallas_precision=pallas_precision,
+                              trainable=trainable)
         hidden = layer_norm(
             residual + attn_out,
             layer["layer_norm.weight"],

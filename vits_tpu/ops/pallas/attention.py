@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attn_kernel(len_ref, q_ref, k_ref, v_ref, rk_ref, rv_ref, out_ref,
-                 *, TQ, TK, L, d, w, neg, precision):
+                 *maybe_lse, TQ, TK, L, d, w, neg, precision):
     b = pl.program_id(0)
     qt = pl.program_id(2)
     qt0 = qt * TQ
@@ -87,6 +87,10 @@ def _attn_kernel(len_ref, q_ref, k_ref, v_ref, rk_ref, rv_ref, out_ref,
     inv_l = 1.0 / l
     out = acc * inv_l + dot(racc * inv_l, rv_ref[:].astype(jnp.float32))
     out_ref[0, 0] = out.astype(out_ref.dtype)
+    if maybe_lse:
+        # row logsumexp — the flash-backward residual (attention_grad.py):
+        # exp(s - lse) reconstructs the exact probabilities blockwise.
+        maybe_lse[0][0, 0] = (m + jnp.log(l)).astype(jnp.float32)
 
 
 def flash_rel_attention(
@@ -102,8 +106,13 @@ def flash_rel_attention(
     tile_k: int = 512,
     interpret: bool = False,
     precision: str | None = None,
+    return_lse: bool = False,
 ) -> jax.Array:
-    """Returns (B, H, L, d) attention output (before out-projection)."""
+    """Returns (B, H, L, d) attention output (before out-projection).
+
+    With ``return_lse`` also returns the per-row logsumexp (B, H, L) —
+    the residual the flash backward needs (ops/pallas/attention_grad.py).
+    """
     B, H, L, d = q.shape
     in_dtype = q.dtype
     neg = float(jnp.finfo(in_dtype).min)
@@ -125,7 +134,15 @@ def flash_rel_attention(
         _attn_kernel, TQ=TQ, TK=TK, L=Lp, d=d, w=window, neg=neg,
         precision=None if precision is None else jax.lax.Precision(precision),
     )
-    out = pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, 1, TQ, d), lambda b, h, t: (b, h, t, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((B, H, Lp, d), in_dtype)]
+    if return_lse:
+        # trailing singleton keeps the block shape Mosaic-tileable (TQ, 1)
+        out_specs.append(pl.BlockSpec((1, 1, TQ, 1), lambda b, h, t: (b, h, t, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, H, Lp, 1), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid=(B, H, Lp // TQ),
         in_specs=[
@@ -139,12 +156,13 @@ def flash_rel_attention(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, TQ, d), lambda b, h, t: (b, h, t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, Lp, d), in_dtype),
+        out_specs=out_specs if return_lse else out_specs[0],
+        out_shape=out_shape if return_lse else out_shape[0],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(len2, q, k, v, rel_k, rel_v)
-    return out[:, :, :L]
+    if return_lse:
+        return outs[0][:, :, :L], outs[1][:, :, :L, 0]
+    return outs[:, :, :L]

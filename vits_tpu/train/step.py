@@ -93,7 +93,13 @@ def generator_forward(
     )
 
     # --- text prior + MAS alignment --------------------------------------- #
-    enc = text_encoder(p, config, batch.input_ids, token_mask3, batch.token_mask)
+    # use_pallas: flash rel-attention with the flash backward kernel
+    # (ops/pallas/attention_grad.py) from 512 tokens up — measured break-even
+    # at 256 and 1.3x/2.7x at 512/1024 vs XLA autodiff (BENCH_DETAIL
+    # attention_grad_r3); the token length is static at trace time
+    use_flash_attn = use_pallas and batch.input_ids.shape[1] >= 512
+    enc = text_encoder(p, config, batch.input_ids, token_mask3, batch.token_mask,
+                       use_pallas=use_flash_attn, trainable=True)
     log_lik = prior_log_likelihood(z_p, enc.prior_means, enc.prior_log_variances)
     attn = jax.lax.stop_gradient(
         monotonic_align(log_lik, batch.frame_mask, batch.token_mask)
