@@ -70,7 +70,7 @@ def _fused_resblock_call(p, h, mask, kernel_size, dilations, slope, precision=No
     b2 = jnp.stack([p[f"convs2.{i}.bias"] for i in range(pairs)])
     lengths = None
     if mask is not None:
-        lengths = jnp.sum(mask[..., 0], axis=1).astype(jnp.int32)
+        lengths = jnp.sum(mask[..., 0].astype(jnp.float32), axis=1).astype(jnp.int32)
     return fused_resblock(
         h, w1, b1, w2, b2,
         kernel_size=kernel_size, dilations=tuple(dilations), slope=slope,
@@ -161,7 +161,16 @@ def precompute_vocoder_packs(
                 packs[f"{PACK_PREFIX}.{i}.{name}"] = arr
         elif c_out % 128 == 0:
             # wide stage: stack the trio weights once at load; int8/bf16 cut
-            # their HBM->VMEM bytes (these are the LARGE vocoder weights)
+            # their HBM->VMEM bytes (these are the LARGE vocoder weights).
+            # The upsampler itself runs in XLA — store a bf16 copy so the
+            # whole wide-stage glue segment (leaky -> conv_transpose -> mask)
+            # can ride bf16 end-to-end when the kernels do (halves the
+            # inter-stage HBM round-trips; device-lane win in BENCH_DETAIL
+            # kernel_mfu_ledger_r3).
+            if weight_format != "float32":
+                packs[f"{PACK_PREFIX}.{i}.up_w"] = up_w.astype(jnp.bfloat16)
+                packs[f"{PACK_PREFIX}.{i}.up_b"] = (
+                    p[f"upsampler.{i}.bias"].astype(jnp.bfloat16))
             for j, blk in enumerate(_stage_resblock_dicts(p, config, i)):
                 w1, w2 = blk["w1"], blk["w2"]
                 entries = {"b1": blk["b1"], "b2": blk["b2"]}
@@ -205,6 +214,17 @@ def hifigan(
     if mask is not None:
         h = h * mask
 
+    # bf16-serving glue: once the kernels run bf16 VMEM values, keeping the
+    # XLA segments between them (leaky -> conv_transpose -> mask) in fp32
+    # just doubles every inter-stage HBM round-trip and adds cast/pad ops —
+    # carry the activation in bf16 end-to-end (the kernels accumulate fp32
+    # either way; the fp32/highest parity path is untouched).
+    bf16_glue = use_pallas and not trainable and vd == jnp.bfloat16
+    if bf16_glue:
+        h = h.astype(vd)
+        if mask is not None:
+            mask = mask.astype(vd)  # 0/1 exact in bf16
+
     def _stage_fusable(c_in, c_out, rate, carry_dtype=None):
         return (
             use_pallas
@@ -234,7 +254,7 @@ def hifigan(
 
             lengths = None
             if mask is not None:
-                lengths = jnp.sum(mask[..., 0], axis=1).astype(jnp.int32)
+                lengths = jnp.sum(mask[..., 0].astype(jnp.float32), axis=1).astype(jnp.int32)
             is_last = i == n_stages - 1
             # Chain consecutive fused stages in the PACKED layout (the
             # unpack/repack reshapes between them are pure relayout cost),
@@ -290,10 +310,16 @@ def hifigan(
             and 2 * ((kernel_size - rate) // 2) == kernel_size - rate
             else "dilated"
         )
+        up_b = p[f"upsampler.{i}.bias"]
+        if bf16_glue and f"{PACK_PREFIX}.{i}.up_w" in params:
+            # load-time bf16 upsampler weights keep the whole segment in the
+            # carry dtype (fp32 weights would promote the conv back to fp32)
+            up_w = params[f"{PACK_PREFIX}.{i}.up_w"]
+            up_b = params[f"{PACK_PREFIX}.{i}.up_b"]
         h = conv_transpose1d(
             h,
             up_w,
-            p[f"upsampler.{i}.bias"],
+            up_b,
             stride=rate,
             padding=(kernel_size - rate) // 2,
             method=method,
@@ -314,7 +340,7 @@ def hifigan(
             use_pallas
             and not trainable
             and (wide or 128 % channels == 0)
-            and h.dtype == jnp.float32
+            and h.dtype in (jnp.float32, vd)
         )
 
         # Training path: wide stages through the custom-VJP fused trio —
@@ -337,7 +363,7 @@ def hifigan(
 
             lengths = None
             if mask is not None:
-                lengths = jnp.sum(mask[..., 0], axis=1).astype(jnp.int32)
+                lengths = jnp.sum(mask[..., 0].astype(jnp.float32), axis=1).astype(jnp.int32)
             # Load-time stacked (and possibly int8/bf16) trio weights from
             # precompute_vocoder_packs; fall back to in-trace stacking.
             blocks = None
@@ -353,10 +379,15 @@ def hifigan(
                         if base + name in params:
                             blk[name] = params[base + name]
                     blocks.append(blk)
+            # Long stages prefer big tiles: at T=65536 the device-lane time
+            # is 1.58 ms (tile 8192) vs 1.83 ms (tile 2048) — fewer grid
+            # steps amortize per-tile DMA/mask overhead (BENCH_DETAIL
+            # kernel_mfu_ledger_r3).  Short/wide stages OOM VMEM above 2048.
             h = fused_resblock_trio(
                 h, blocks if blocks is not None
                 else _stage_resblock_dicts(p, config, i),
-                slope=slope, tile_t=2048, lengths=lengths,
+                slope=slope, tile_t=8192 if h.shape[1] >= 32768 else 2048,
+                lengths=lengths,
                 precision=pallas_precision, value_dtype=vd,
             )
             continue
