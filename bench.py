@@ -45,7 +45,35 @@ SENTENCES = [
 ]
 
 
+def _probe_backend(timeout_s: int) -> None:
+    """Fail fast if jax backend init would hang.
+
+    The axon TPU plugin retries a dead tunnel in a C++ sleep loop forever
+    (uninterruptible from Python signals); a driver that wall-clocks this
+    script would record a hang instead of a result.  Probe device discovery
+    in a subprocess with a hard deadline so a down tunnel becomes a clean
+    one-line JSON error (exit 1) instead."""
+    import subprocess
+
+    subprocess.run(
+        [sys.executable, "-c", "import jax; jax.devices()"],
+        timeout=timeout_s, check=True,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+
+
 def main() -> int:
+    init_timeout = int(os.environ.get("VITS_BENCH_INIT_TIMEOUT", "600"))
+    try:
+        _probe_backend(init_timeout)
+    except Exception as e:
+        print(json.dumps({
+            "metric": "xRT_single_utterance", "value": 0.0,
+            "unit": "audio_sec/wall_sec/chip", "vs_baseline": 0.0,
+            "error": f"jax backend init probe failed: {type(e).__name__}: {e}",
+        }))
+        return 1
+
     import jax
 
     from vits_tpu.config import EngineConfig, VitsConfig
