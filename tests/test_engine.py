@@ -209,3 +209,22 @@ def test_adaptive_capacity_off_still_ladders(tiny_bundle):
     assert model._frames_per_token == 0.125  # untouched
     model.synthesize("hello sad dame", seed=0)
     assert model.stats["redispatches"] >= 2  # ladders again every time
+
+
+def test_compilation_cache_persists_programs(tiny_bundle, tmp_path):
+    """EngineConfig.compilation_cache_dir writes compiled bucket programs to
+    disk (the serving cold-start story: a restarted process reloads them
+    instead of recompiling).  In-process we can observe the cache files and
+    that a second engine built against the same dir still synthesizes."""
+    config, params = tiny_bundle
+    tok = VitsTokenizer(vocab=dict(VOCAB), pad_token="k", unk_token="z")
+    cache = tmp_path / "xla-cache"
+    eng = EngineConfig(token_buckets=(32,), frames_per_token=4.0,
+                       compilation_cache_dir=str(cache))
+    model = Synthesizer(config, tok, params, eng)
+    w1 = model.synthesize("hello sad dame", seed=0)
+    entries = list(cache.rglob("*"))
+    assert any(p.is_file() for p in entries), entries
+    model2 = Synthesizer(config, tok, params, eng)
+    w2 = model2.synthesize("hello sad dame", seed=0)
+    np.testing.assert_array_equal(w1, w2)

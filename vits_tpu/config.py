@@ -231,6 +231,12 @@ class EngineConfig:
     # Transfer waveforms device->host as int16 PCM (the final WAV format;
     # halves transfer bytes, quantization error 1/32767 ~ 3e-5).
     transfer_int16: bool = True
+    # Persistent XLA compilation-cache directory: compiled bucket programs
+    # survive process restarts, so a serving process skips the 20-40 s/program
+    # cold compile on its second and later launches.  None = disabled.
+    # NOTE jax has ONE process-global cache — the last engine constructed
+    # with a non-None dir wins for the whole process.
+    compilation_cache_dir: str | None = None
 
     def frame_bucket(self, token_bucket: int) -> int:
         frames = int(token_bucket * self.frames_per_token)

@@ -326,9 +326,13 @@ def main(argv=None) -> int:
     ap.add_argument("--dp", type=int, default=0, metavar="N",
                     help="serve data-parallel over N chips (0 = single chip): "
                          "each batch dispatch shards one row per chip")
+    ap.add_argument("--compilation-cache", default=None, metavar="DIR",
+                    help="persistent XLA compilation cache: restarts reuse "
+                         "compiled bucket programs instead of recompiling")
     args = ap.parse_args(argv)
 
     import vits_tpu
+    from vits_tpu.config import EngineConfig
 
     mesh = None
     if args.dp > 1:
@@ -337,7 +341,9 @@ def main(argv=None) -> int:
         from vits_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(data=args.dp, model=1, devices=jax.devices()[: args.dp])
-    model = vits_tpu.load_model(args.model, mesh=mesh)
+    eng = (EngineConfig(compilation_cache_dir=args.compilation_cache)
+           if args.compilation_cache else None)
+    model = vits_tpu.load_model(args.model, eng, mesh=mesh)
     # per_row_seeds: the worker always passes seed LISTS, whose (B, 2) key
     # layout is a different program signature from scalar-seed warmup —
     # without it the first real request pays a cold compile.

@@ -80,6 +80,15 @@ class Synthesizer:
         self.tokenizer = tokenizer
         self.engine = engine_config or EngineConfig()
         self.device = device
+        if self.engine.compilation_cache_dir:
+            # Serving restarts reuse compiled bucket programs from disk
+            # (process-global; see EngineConfig.compilation_cache_dir).
+            # Thresholds drop to 0 so even fast-compiling programs persist —
+            # a serving process wants maximum restart reuse, not disk thrift.
+            jax.config.update(
+                "jax_compilation_cache_dir", self.engine.compilation_cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         # Multi-chip serving: params replicate across the mesh, every batch
         # shards over the 'data' axis, XLA/GSPMD runs each row's synthesis on
         # its own chip (SURVEY.md §2b row 1 — the reference is single-process
