@@ -34,13 +34,19 @@ def main(argv=None) -> int:
                         help="chunked streaming decode (prints per-chunk TTFA)")
     parser.add_argument("--long", action="store_true", dest="longform",
                         help="split long text at sentences, batch, and stitch")
+    parser.add_argument("--compilation-cache", default=None, metavar="DIR",
+                        help="persistent XLA compilation cache: repeat CLI "
+                             "invocations reuse compiled programs instead of "
+                             "recompiling (one-shot runs benefit most)")
     args = parser.parse_args(argv)
 
     import vits_tpu
     from vits_tpu.config import EngineConfig
     from vits_tpu.utils.wav import write_wav
 
-    model = vits_tpu.load_model(args.model, EngineConfig(compute_dtype=args.dtype))
+    model = vits_tpu.load_model(args.model, EngineConfig(
+        compute_dtype=args.dtype,
+        compilation_cache_dir=args.compilation_cache))
     controls = dict(
         noise_scale=args.noise_scale,
         noise_scale_duration=args.noise_scale_duration,
