@@ -41,7 +41,7 @@
 
 struct VtTensor {
     const char* name;     // NUL-terminated, owned by VtCheckpoint
-    uint32_t dtype;       // 0 = f32, 1 = f16
+    uint32_t dtype;       // 0 = f32, 1 = f16, 2 = int8 (repo extension, io/ggml.py)
     uint32_t rank;
     uint32_t dims[8];     // torch-order shape (already un-reversed)
     const uint8_t* data;  // pointer into the mmap
@@ -156,7 +156,7 @@ bool parse(VtCheckpoint* ck) {
         t.data = c.bytes(t.nbytes);
         if (!c.ok) break;
         t.name = intern(ck, nb, nlen);
-        if (t.dtype > 1) { ck->error = "unsupported dtype"; return false; }
+        if (t.dtype > 2) { ck->error = "unsupported dtype"; return false; }
         ck->tensors.push_back(t);
     }
     if (!c.ok) {

@@ -27,6 +27,10 @@ def main(argv=None) -> int:
                     help="HF names or local dirs (default: MMS eng+spa)")
     ap.add_argument("--out-dir", default="scripts")
     ap.add_argument("--fp32", action="store_true", help="keep convs fp32")
+    ap.add_argument("--int8", action="store_true",
+                    help="quantize weights (io/quantize.py) and write an int8 "
+                         "checkpoint (~4x smaller; this engine only — the "
+                         "reference parser rejects dtype code 2)")
     args = ap.parse_args(argv)
 
     from vits_tpu.io.loader import export_to_ggml, load_hf_pretrained
@@ -36,10 +40,17 @@ def main(argv=None) -> int:
         out_name = DEFAULT_MODELS.get(name) or (
             os.path.basename(name.rstrip("/")).replace("/", "-") + ".ggml"
         )
+        if args.int8:
+            out_name = out_name.replace(".ggml", "-int8.ggml")
         dest = os.path.join(args.out_dir, out_name)
         print(f"Exporting {name} -> {dest}")
         config, tokenizer, params = load_hf_pretrained(name)
-        export_to_ggml(dest, config, tokenizer, params, fp16_convs=not args.fp32)
+        if args.int8:
+            from vits_tpu.io.quantize import quantize_params
+
+            params = quantize_params(params)
+        export_to_ggml(dest, config, tokenizer, params,
+                       fp16_convs=not args.fp32 and not args.int8)
         print(f"Done! {os.path.getsize(dest):,} bytes")
     return 0
 

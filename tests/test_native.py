@@ -106,6 +106,27 @@ def test_native_full_loader_matches_python(tiny_hf_model, tmp_path):
         np.testing.assert_array_equal(p_nat[k], p_py[k])
 
 
+def test_native_loader_int8_checkpoint(tiny_hf_model, tmp_path):
+    """The mmap parser accepts dtype code 2 (int8 extension, io/ggml.py) and
+    yields the same int8 weights + f32 scales as the Python reader."""
+    from vits_tpu.io.loader import export_to_ggml, load_ggml, load_hf_module
+    from vits_tpu.io.quantize import quantize_params
+    from vits_tpu.text.tokenizer import VitsTokenizer
+
+    config, _, params = load_hf_module(tiny_hf_model)
+    tok = VitsTokenizer(vocab={"a": 1, "<pad>": 0}, pad_token="<pad>", unk_token="<unk>")
+    path = str(tmp_path / "tiny-int8.ggml")
+    export_to_ggml(path, config, tok, quantize_params(params), fp16_convs=False)
+
+    _, _, p_py = load_ggml(path)
+    _, _, p_nat = native.load_ggml_native(path)
+    assert any(np.asarray(v).dtype == np.int8 for v in p_py.values())
+    assert set(p_nat) == set(p_py)
+    for k in p_py:
+        assert np.asarray(p_nat[k]).dtype == np.asarray(p_py[k]).dtype, k
+        np.testing.assert_array_equal(p_nat[k], p_py[k])
+
+
 @pytest.mark.skipif(
     not native.available() or not hasattr(native.load_library(), "vt_engine_connect"),
     reason="native library with vt_synthesize not built",

@@ -69,3 +69,42 @@ def test_quantized_serving_waveform_close(tiny_bundle):
     assert np.isfinite(w_q).all()
     corr = np.corrcoef(w_fp.ravel(), w_q.ravel())[0, 1]
     assert corr > 0.95, corr
+
+
+def test_int8_ggml_round_trip(tiny_bundle, tmp_path):
+    """Quantized params survive export_to_ggml -> load_ggml bit-exactly.
+
+    dtype code 2 (int8) is this repo's format extension (io/ggml.py):
+    before it, int8 weights were silently cast to f32 raw integer LEVELS on
+    export and the dtype-keyed dequant never fired on reload — a 127x-scaled
+    model.  The engine must also still detect the reloaded dict as quantized."""
+    from vits_tpu.config import EngineConfig
+    from vits_tpu.engine.synthesizer import Synthesizer
+    from vits_tpu.io.loader import export_to_ggml, load_ggml
+    from vits_tpu.io.quantize import quantize_params
+    from vits_tpu.text.tokenizer import VitsTokenizer
+
+    config, params = tiny_bundle
+    qparams = quantize_params(params)
+    assert any(np.asarray(v).dtype == np.int8 for v in qparams.values())
+    vocab = {c: i for i, c in enumerate("kzyuvdheswm' ablc")}
+    tok = VitsTokenizer(vocab=vocab, pad_token="k", unk_token="z")
+    path = str(tmp_path / "int8.ggml")
+    # fp16_convs=False: the few convs _should_quantize skips stay fp32 so the
+    # round-trip is bit-exact (the default fp16 cast is reference-compat
+    # behavior and only adds fp16 rounding on those leftovers)
+    export_to_ggml(path, config, tok, qparams, fp16_convs=False)
+
+    config2, tok2, reloaded = load_ggml(path)
+    assert set(reloaded) == set(qparams)
+    for name, value in qparams.items():
+        got = reloaded[name]
+        assert got.dtype == np.asarray(value).dtype, name
+        np.testing.assert_array_equal(got, np.asarray(value), err_msg=name)
+
+    # identical audio from the in-memory and round-tripped quantized dicts
+    eng = EngineConfig(token_buckets=(16,), frames_per_token=2.0,
+                       transfer_int16=False)
+    w_mem = Synthesizer(config, tok, qparams, eng).synthesize("hello", seed=4)
+    w_disk = Synthesizer(config2, tok2, reloaded, eng).synthesize("hello", seed=4)
+    np.testing.assert_array_equal(w_mem, w_disk)

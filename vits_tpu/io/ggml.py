@@ -14,6 +14,12 @@ Binary layout (little-endian u32 length prefixes), as produced by
 
 The writer exists so this repo can (a) export HF VITS checkpoints exactly like the
 reference's export pipeline and (b) generate self-contained test fixtures.
+
+Extension beyond the reference: dtype code 2 = int8 (vits_tpu.io.quantize
+weights, whose per-out-channel ``.scale`` rows ride as ordinary f32 tensors)
+— quantized checkpoints round-trip to disk at ~1 byte/weight.  The reference
+parser rejects code 2 (vits_model_data.cpp:80-85); int8 files are for this
+engine only.
 """
 
 from __future__ import annotations
@@ -25,8 +31,12 @@ from typing import BinaryIO, Mapping
 
 import numpy as np
 
-_DTYPE_CODES = {0: np.float32, 1: np.float16}
-_CODE_FOR_DTYPE = {np.dtype(np.float32): 0, np.dtype(np.float16): 1}
+_DTYPE_CODES = {0: np.float32, 1: np.float16, 2: np.int8}
+_CODE_FOR_DTYPE = {
+    np.dtype(np.float32): 0,
+    np.dtype(np.float16): 1,
+    np.dtype(np.int8): 2,
+}
 
 
 def _read_u32(f: BinaryIO) -> int:

@@ -126,7 +126,14 @@ def export_to_ggml(
     """
     tensors: dict[str, np.ndarray] = {}
     for name, value in params.items():
-        torch_arr = to_torch_layout(name, np.asarray(value, dtype=np.float32))
+        arr = np.asarray(value)
+        if arr.dtype == np.int8:
+            # quantized weights (io/quantize.py) round-trip verbatim; their
+            # f32 .scale rows ride the plain path below (dtype code 2 is
+            # this repo's format extension — io/ggml.py docstring)
+            tensors[name] = to_torch_layout(name, arr)
+            continue
+        torch_arr = to_torch_layout(name, arr.astype(np.float32, copy=False))
         if fp16_convs and torch_arr.ndim == 3 and name.endswith(".weight"):
             torch_arr = torch_arr.astype(np.float16)
         tensors[name] = torch_arr

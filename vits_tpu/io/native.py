@@ -199,7 +199,7 @@ class NativeCheckpoint:
         for i in range(lib.vt_ggml_num_tensors(self._handle)):
             t = lib.vt_ggml_tensor(self._handle, i).contents
             shape = tuple(t.dims[d] for d in range(t.rank))
-            dtype = np.float32 if t.dtype == 0 else np.float16
+            dtype = {0: np.float32, 1: np.float16, 2: np.int8}[t.dtype]
             buf = ctypes.cast(
                 t.data, ctypes.POINTER(ctypes.c_uint8 * t.nbytes)
             ).contents

@@ -73,6 +73,12 @@ def convert_state_dict(
     out = {}
     for name, value in state_dict.items():
         arr = np.asarray(value)
+        if arr.dtype == np.int8:
+            # quantized weights stay int8 (ParamView dequantizes at access
+            # via the sibling .scale row); casting would bake the raw
+            # integer levels in as weights
+            out[name] = from_torch_layout(name, arr)
+            continue
         if arr.dtype in (np.float16, np.float64):
             arr = arr.astype(np.float32)
         out[name] = from_torch_layout(name, arr).astype(dtype, copy=False)
