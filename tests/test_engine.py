@@ -228,3 +228,21 @@ def test_compilation_cache_persists_programs(tiny_bundle, tmp_path):
     model2 = Synthesizer(config, tok, params, eng)
     w2 = model2.synthesize("hello sad dame", seed=0)
     np.testing.assert_array_equal(w1, w2)
+
+
+def test_pallas_engine_path_runs_on_cpu():
+    """use_pallas_vocoder=True off-TPU auto-selects interpret mode
+    (ops/pallas/__init__.py::resolve_interpret) instead of crashing inside
+    pallas_call — the engine's TPU serving config is runnable anywhere."""
+    import vits_tpu
+
+    fx = "tests/fixtures/tiny-vits.ggml"
+    eng = lambda **kw: EngineConfig(token_buckets=(16,), frames_per_token=2.0,
+                                    transfer_int16=False, **kw)
+    ref = vits_tpu.load_model(fx, eng()).synthesize("hello", seed=11)
+    got = vits_tpu.load_model(fx, eng(
+        use_pallas_vocoder=True, pallas_value_dtype="bfloat16",
+    )).synthesize("hello", seed=11)
+    assert got.shape == ref.shape
+    assert np.isfinite(got).all()
+    assert float(np.abs(got - ref).max()) < 0.05  # bf16-value rounding only

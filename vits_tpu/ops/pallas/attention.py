@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vits_tpu.ops.pallas import resolve_interpret
+
 
 def _attn_kernel(len_ref, q_ref, k_ref, v_ref, rk_ref, rv_ref, out_ref,
                  *maybe_lse, TQ, TK, L, d, w, neg, precision):
@@ -104,7 +106,7 @@ def flash_rel_attention(
     lengths: jax.Array | None = None,  # (B,) valid key counts
     tile_q: int = 256,
     tile_k: int = 512,
-    interpret: bool = False,
+    interpret: bool | None = None,
     precision: str | None = None,
     return_lse: bool = False,
 ) -> jax.Array:
@@ -113,6 +115,7 @@ def flash_rel_attention(
     With ``return_lse`` also returns the per-row logsumexp (B, H, L) —
     the residual the flash backward needs (ops/pallas/attention_grad.py).
     """
+    interpret = resolve_interpret(interpret)
     B, H, L, d = q.shape
     in_dtype = q.dtype
     neg = float(jnp.finfo(in_dtype).min)

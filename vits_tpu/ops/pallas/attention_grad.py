@@ -42,6 +42,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vits_tpu.ops.pallas import resolve_interpret
+
 from vits_tpu.ops.attention import (
     absolute_position_to_relative_position,
     get_relative_embeddings,
@@ -263,7 +265,7 @@ def make_trainable_attention(
     window: int,
     tile_q: int = 256,
     tile_k: int = 512,
-    interpret: bool = False,
+    interpret: bool | None = None,
     precision: str | None = None,
 ):
     """Differentiable flash rel-attention: f(q, k, v, rel_k, rel_v, lengths).
@@ -272,6 +274,7 @@ def make_trainable_attention(
     keys) or an int (B,) array.  ``jax.grad`` through the result matches XLA
     autodiff of :func:`xla_rel_attention` to fp32 tolerance.
     """
+    interpret = resolve_interpret(interpret)
 
     @jax.custom_vjp
     def attn(q, k, v, rel_k, rel_v, lengths):

@@ -42,6 +42,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vits_tpu.ops.pallas import resolve_interpret
+
 from vits_tpu.config import VitsConfig
 from vits_tpu.io.params import ParamView
 
@@ -234,10 +236,11 @@ def fused_flow(
     *,
     lengths: jax.Array | None = None,  # (B,) valid frames
     cond: jax.Array | None = None,  # (B, n_flows, nl, 2*hidden) per-flow wavenet cond
-    interpret: bool = False,
+    interpret: bool | None = None,
     precision: str | None = None,  # None = fast bf16 multiplies; "highest" = fp32
 ) -> jax.Array:
     """Reverse residual-coupling flow, whole stack in one kernel."""
+    interpret = resolve_interpret(interpret)
     B, T, C = x.shape
     half = config.flow_size // 2
     hidden = config.hidden_size

@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vits_tpu.ops.pallas import resolve_interpret
+
 from vits_tpu.ops.conv import conv1d, leaky_relu
 
 
@@ -247,7 +249,7 @@ def fused_resblock_trio(
     slope: float,
     tile_t: int = 2048,
     lengths: jax.Array | None = None,
-    interpret: bool = False,
+    interpret: bool | None = None,
     precision: str | None = None,
     value_dtype=None,  # VMEM value dtype: None = fp32 (exact parity mode);
     #   jnp.bfloat16 halves window/weight VMEM traffic, fp32 accumulation
@@ -255,6 +257,7 @@ def fused_resblock_trio(
     """mean_j resblock_j(x) in ONE kernel (wide stages).  Bit-matches the
     mean of ``xla_resblock`` outputs at value_dtype fp32; pinned by
     tests/test_pallas_resblock."""
+    interpret = resolve_interpret(interpret)
     B, T, C = x.shape
     assert C % 128 == 0, C
     vd = jnp.float32 if value_dtype is None else jnp.dtype(value_dtype)
@@ -640,11 +643,12 @@ def fused_resblock(
     slope: float,
     tile_t: int = 2048,
     lengths: jax.Array | None = None,  # (B,) valid rows per batch entry
-    interpret: bool = False,
+    interpret: bool | None = None,
     packing: int | None = None,  # None = auto: 1 if C%128==0 else 128//C
     precision: str | None = None,  # None=fast bf16 multiplies; "highest"=fp32
     value_dtype=None,  # VMEM value dtype: None = fp32 exact; bf16 halves traffic
 ) -> jax.Array:
+    interpret = resolve_interpret(interpret)
     B, T, C = x.shape
     vd = jnp.float32 if value_dtype is None else jnp.dtype(value_dtype)
     if packing is None:

@@ -34,6 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vits_tpu.ops.pallas import resolve_interpret
+
 from vits_tpu.ops.pallas.resblock import (
     _leaky,
     _materialize_pairs,
@@ -386,7 +388,7 @@ def fused_stage(
     slope: float,
     tile_t: int = 2048,
     lengths: jax.Array | None = None,  # (B,) valid INPUT steps
-    interpret: bool = False,
+    interpret: bool | None = None,
     precision: str | None = None,  # None=fast bf16 multiplies; "highest"=fp32
     packed_in: int | None = None,  # logical T_in when x is ALREADY packed (B, R, 128)
     packed_out: bool = False,  # skip the unpack reshape; return (B, rows, 128)
@@ -406,6 +408,7 @@ def fused_stage(
     g_in(next) = 128/C_out = g_out(this)); or the final waveform (B, T_out)
     with ``final_conv``.
     """
+    interpret = resolve_interpret(interpret)
     if packed_in is not None:
         B, R_in, lanes = x.shape
         assert lanes == 128, x.shape

@@ -34,6 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vits_tpu.ops.pallas import resolve_interpret
+
 from vits_tpu.ops.conv import conv1d, leaky_relu
 from vits_tpu.ops.pallas.resblock import total_halo
 
@@ -188,7 +190,7 @@ def make_trainable_trio(
     *,
     slope: float,
     tile_t: int = 2048,
-    interpret: bool = False,
+    interpret: bool | None = None,
     precision: str | None = None,
 ):
     """Build a differentiable fused-trio function for a fixed block geometry.
@@ -197,6 +199,7 @@ def make_trainable_trio(
     block of (w1 (pairs,k,C,C), b1 (pairs,C), w2, b2); ``jax.grad`` through
     ``f`` matches XLA autodiff of the mean-of-resblocks reference.
     """
+    interpret = resolve_interpret(interpret)
     metas = []
     for m in blocks_meta:
         metas.append({
