@@ -77,9 +77,12 @@ def main():
         np.asarray(jax.tree.leaves(carry[-1])[0])
         return (time.perf_counter() - t0) / n * 1000
 
-    use_pallas = False if args.no_pallas else None  # None = auto (TPU on)
-    results["use_pallas"] = bool(
-        jax.default_backend() == "tpu" if use_pallas is None else use_pallas)
+    use_pallas = False if args.no_pallas else None  # None = auto
+    from vits_tpu.train.step import _resolve_use_pallas
+
+    # Report what the train step will ACTUALLY resolve (single-chip TPU
+    # only), not a backend check — on multi-chip the kernels stay off.
+    results["use_pallas"] = bool(_resolve_use_pallas(use_pallas))
 
     # generator-only step
     g_step = make_train_step(config, gen_opt, donate=False, use_pallas=use_pallas)

@@ -246,3 +246,26 @@ def test_pallas_engine_path_runs_on_cpu():
     assert got.shape == ref.shape
     assert np.isfinite(got).all()
     assert float(np.abs(got - ref).max()) < 0.05  # bf16-value rounding only
+
+
+def test_adaptive_capacity_ignores_speaking_rate_overrides(tiny_bundle):
+    """A slow-speaking-rate request overflows because of ITS control, not the
+    checkpoint's intrinsic frames/token — it must pay the redispatch ladder
+    itself, not poison the engine-global working ratio for all future
+    requests.  And a genuine overflow can raise the ratio by at most 2x per
+    observation (one pathological utterance can't jump it to 30)."""
+    config, params = tiny_bundle
+    tok = VitsTokenizer(vocab=dict(VOCAB), pad_token="k", unk_token="z")
+    eng = EngineConfig(token_buckets=(32,), frames_per_token=2.0)
+    model = Synthesizer(config, tok, params, eng)
+    before = model._frames_per_token
+    model.synthesize("hello sad dame", seed=0, speaking_rate=0.25)
+    assert model.stats["redispatches"] > 0  # it did overflow...
+    assert model._frames_per_token == before  # ...without adapting
+
+    # default-rate overflow still adapts, but clamped to 2x per observation
+    tiny = Synthesizer(config, tok, params,
+                       EngineConfig(token_buckets=(32,), frames_per_token=0.5))
+    tiny.synthesize("hello sad dame", seed=0)
+    assert tiny._frames_per_token <= 1.0  # 2x clamp (true rate is ~4-5)
+    assert tiny._frames_per_token > 0.5

@@ -106,3 +106,17 @@ def test_dp_large_batch_rounds_to_mesh(engines):
     assert len(waves) == 10  # pad rows (10 -> 16) are dropped on trim
     for w in waves:
         assert np.isfinite(w).all() and len(w) > 0
+
+
+def test_mesh_speaker_list_pads_with_batch(engines):
+    """A per-text speaker_id list shorter than the mesh-padded row count must
+    tail-fill (like seeds), not blow up in np.broadcast_to: the server's
+    worker passes exactly such lists whenever any request has a speaker."""
+    single, sharded = engines
+    texts = TEXTS[:3]  # pads 3 -> 8 rows on the data axis
+    waves = sharded.synthesize(texts, seed=[1, 2, 3], speaker_id=[0, 0, 0])
+    assert len(waves) == 3
+    ref = single.synthesize(texts, seed=[1, 2, 3], speaker_id=[0, 0, 0])
+    for w, r in zip(waves, ref):
+        assert w.shape == r.shape
+        np.testing.assert_allclose(w, r, atol=1e-4)

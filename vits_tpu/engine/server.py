@@ -75,6 +75,9 @@ class BatchingWorker:
         self.queue: "queue.Queue[_Request]" = queue.Queue(maxsize=max_queue)
         self.stats = {"requests": 0, "batches": 0, "rejected": 0,
                       "streams": 0, "audio_seconds": 0.0}
+        # Guards stats read-modify-writes: the worker thread AND every
+        # /stream handler thread update these counters.
+        self.stats_lock = threading.Lock()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -85,7 +88,8 @@ class BatchingWorker:
             self.queue.put_nowait(req)
             return True
         except queue.Full:
-            self.stats["rejected"] += 1
+            with self.stats_lock:
+                self.stats["rejected"] += 1
             return False
 
     def stop(self) -> None:
@@ -124,7 +128,8 @@ class BatchingWorker:
                 # server (handler threads keep it full under overload).
                 self.queue.put_nowait(req)
             except queue.Full:
-                self.stats["rejected"] += 1
+                with self.stats_lock:
+                    self.stats["rejected"] += 1
                 req.error = "queue full (control-group requeue)"
                 req.done.set()
         return batch
@@ -154,10 +159,12 @@ class BatchingWorker:
                 rate = self.model.config.sampling_rate
                 for req, wave in zip(batch, waves):
                     req.audio = wave
-                    self.stats["audio_seconds"] += len(wave) / rate
+                    with self.stats_lock:
+                        self.stats["audio_seconds"] += len(wave) / rate
                     req.done.set()
-                self.stats["requests"] += len(batch)
-                self.stats["batches"] += 1
+                with self.stats_lock:
+                    self.stats["requests"] += len(batch)
+                    self.stats["batches"] += 1
             except Exception as exc:  # surface errors to every waiter
                 for req in batch:
                     req.error = f"{type(exc).__name__}: {exc}"
@@ -165,7 +172,12 @@ class BatchingWorker:
 
 
 def make_handler(worker: BatchingWorker, model, request_timeout_s: float = 120.0,
-                 streamer=None):
+                 streamer=None, max_streams: int = 4):
+    # /stream admission control: each stream occupies a handler thread and
+    # dispatches device programs outside the batching worker, so concurrency
+    # must be bounded like the queue is (429 when all slots are busy).
+    stream_slots = threading.BoundedSemaphore(max(1, max_streams))
+
     class Handler(BaseHTTPRequestHandler):
         # HTTP/1.1 for Transfer-Encoding: chunked on /stream (every other
         # response carries an explicit Content-Length).
@@ -225,7 +237,15 @@ def make_handler(worker: BatchingWorker, model, request_timeout_s: float = 120.0
                 self._json(400, {"error": f"bad request: {exc}"})
                 return
             if self.path == "/stream":
-                self._do_stream(req)
+                if not stream_slots.acquire(blocking=False):
+                    with worker.stats_lock:
+                        worker.stats["rejected"] += 1
+                    self._json(429, {"error": "stream slots busy, retry later"})
+                    return
+                try:
+                    self._do_stream(req)
+                finally:
+                    stream_slots.release()
                 return
             if not worker.submit(req):
                 self._json(429, {"error": "queue full, retry later"})
@@ -275,10 +295,12 @@ def make_handler(worker: BatchingWorker, model, request_timeout_s: float = 120.0
                     data = pcm16(pcm).tobytes()
                     if data:
                         chunk(data)
-                        worker.stats["audio_seconds"] += (
-                            len(pcm) / model.config.sampling_rate)
+                        with worker.stats_lock:
+                            worker.stats["audio_seconds"] += (
+                                len(pcm) / model.config.sampling_rate)
                 self.wfile.write(b"0\r\n\r\n")
-                worker.stats["streams"] = worker.stats.get("streams", 0) + 1
+                with worker.stats_lock:
+                    worker.stats["streams"] = worker.stats.get("streams", 0) + 1
             except BrokenPipeError:
                 pass  # client went away mid-stream
             except Exception:
@@ -292,12 +314,13 @@ def make_handler(worker: BatchingWorker, model, request_timeout_s: float = 120.0
 def serve(model, port: int = 8080, host: str = "127.0.0.1",
           batch_window_ms: float = 5.0, max_batch: int = 16,
           max_queue: int = 256, request_timeout_s: float = 120.0,
-          streaming: bool = True, streamer=None):
+          streaming: bool = True, streamer=None, max_streams: int = 4):
     """Blocking serve loop. Returns (server, worker) if you thread it yourself.
 
     ``streamer``: pass a configured StreamingDecoder to control chunk sizes;
     default builds one with library defaults (``streaming=False`` disables
-    the /stream endpoint entirely).
+    the /stream endpoint entirely).  ``max_streams`` bounds concurrent
+    /stream connections (429 beyond it), mirroring the batched queue bound.
     """
     worker = BatchingWorker(model, batch_window_ms, max_batch, max_queue)
     if streaming and streamer is None:
@@ -307,7 +330,8 @@ def serve(model, port: int = 8080, host: str = "127.0.0.1",
     elif not streaming:
         streamer = None
     server = ThreadingHTTPServer(
-        (host, port), make_handler(worker, model, request_timeout_s, streamer)
+        (host, port),
+        make_handler(worker, model, request_timeout_s, streamer, max_streams),
     )
     return server, worker
 
@@ -323,6 +347,8 @@ def main(argv=None) -> int:
     ap.add_argument("--max-batch", type=int, default=16)
     ap.add_argument("--max-queue", type=int, default=256)
     ap.add_argument("--request-timeout-s", type=float, default=120.0)
+    ap.add_argument("--max-streams", type=int, default=4,
+                    help="concurrent /stream connections (429 beyond)")
     ap.add_argument("--dp", type=int, default=0, metavar="N",
                     help="serve data-parallel over N chips (0 = single chip): "
                          "each batch dispatch shards one row per chip")
@@ -351,7 +377,7 @@ def main(argv=None) -> int:
                  per_row_seeds=True)
     server, worker = serve(
         model, args.port, args.host, args.batch_window_ms, args.max_batch,
-        args.max_queue, args.request_timeout_s,
+        args.max_queue, args.request_timeout_s, max_streams=args.max_streams,
     )
     print(f"vits_tpu serving on http://{args.host}:{args.port}")
     try:

@@ -390,9 +390,19 @@ class Synthesizer:
 
         spk = None
         if speaker_id is not None:
-            spk = np.broadcast_to(
-                np.asarray(speaker_id, dtype=np.int32), (ids.shape[0],)
-            ).copy()
+            # ids may have more rows than texts (pad_to_batch / mesh tiling):
+            # tail-fill like the seeds array below — pad rows ride speaker 0
+            # and are masked out of the output anyway.
+            spk = np.zeros((ids.shape[0],), np.int32)
+            arr = np.asarray(speaker_id, dtype=np.int32)
+            if arr.ndim == 0:
+                spk[:] = arr
+            elif arr.shape == (len(texts),):
+                spk[: len(texts)] = arr
+            else:
+                raise ValueError(
+                    f"speaker_id list length {arr.shape} != number of texts "
+                    f"({len(texts)})")
 
         if isinstance(seed, (int, np.integer)):
             if self.mesh is not None:
@@ -463,15 +473,25 @@ class Synthesizer:
         The observed rate is per-row predicted frames over per-row VALID
         tokens (mask sum) — the rate a full bucket of such text would need —
         rounded up to ``adaptive_capacity_step`` so compiled shapes stay few.
+
+        Guards against poisoning the engine-global ratio: a request that
+        overrides ``speaking_rate`` scales its durations by 1/rate and says
+        nothing about the checkpoint's intrinsic frames/token (it pays the
+        redispatch ladder instead), and one pathological utterance can raise
+        the ratio by at most 2x per overflow (repeated observations — i.e. a
+        real traffic pattern — still converge on the true rate).
         """
         if not self.engine.adaptive_capacity:
+            return
+        if abs(float(pending.controls[2]) - self.config.speaking_rate) > 1e-9:
             return
         tokens = np.maximum(np.asarray(pending.mask, np.float32).sum(axis=1), 1.0)
         rate = float(np.max(np.asarray(frame_lengths, np.float32) / tokens))
         step = max(self.engine.adaptive_capacity_step, 1e-3)
-        bumped = np.ceil(rate / step) * step
+        bumped = float(np.ceil(rate / step) * step)
+        bumped = min(bumped, self._frames_per_token * 2.0)
         if bumped > self._frames_per_token:
-            self._frames_per_token = float(bumped)
+            self._frames_per_token = bumped
 
     def collect(self, pending: PendingSynthesis, max_redispatch: int = 3) -> EngineOutput:
         """Block on a submission's single device->host fetch (+ overflow ladder)."""

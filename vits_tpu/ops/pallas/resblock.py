@@ -678,9 +678,15 @@ def fused_resblock(
 
     # zero-pad: halo on both ends + tail-round-up (masked region, trimmed below)
     xp = jnp.pad(x, ((0, 0), (halo, halo + (t_padded - T)), (0, 0)))
-    if vd != xp.dtype:
+    # Cast values and weights to vd INDEPENDENTLY: a bf16 input with
+    # value_dtype=bf16 must still cast the fp32 weights (coupling the two
+    # left fp32 weights against bf16 values in the kernel's dot).
+    if xp.dtype != vd:
         xp = xp.astype(vd)
-        w1, w2 = w1.astype(vd), w2.astype(vd)
+    if w1.dtype != vd:
+        w1 = w1.astype(vd)
+    if w2.dtype != vd:
+        w2 = w2.astype(vd)
 
     kernel = functools.partial(
         _kernel,

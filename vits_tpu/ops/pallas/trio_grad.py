@@ -81,7 +81,6 @@ def _trio_train_kernel(x_hbm, *rest, tile_t, blocks_meta, slope, window,
             h1 = dilation * (k - 1) // 2
             h2 = (k - 1) // 2
             mid_len = cur_len - 2 * h1
-            out_len = mid_len
             out_len = mid_len - 2 * h2
 
             if pair > 0:

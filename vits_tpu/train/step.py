@@ -178,7 +178,9 @@ def make_train_step(
     mel_weight: float = 45.0,
     mel_kwargs: Optional[dict] = None,
     donate: bool = True,
-    use_pallas: Optional[bool] = None,  # None = auto (on for TPU backends)
+    use_pallas: Optional[bool] = None,  # None = auto: on for SINGLE-CHIP
+    #   TPU only (_resolve_use_pallas — GSPMD can't partition the
+    #   custom-call under a mesh); True forces it anywhere
 ):
     """Build a jitted (params, opt_state, batch, rng) -> (params, opt_state, metrics).
 
@@ -223,7 +225,9 @@ def make_gan_train_step(
     mel_kwargs: Optional[dict] = None,
     donate: bool = True,
     reuse_forward: bool = True,
-    use_pallas: Optional[bool] = None,  # None = auto (on for TPU backends)
+    use_pallas: Optional[bool] = None,  # None = auto: on for SINGLE-CHIP
+    #   TPU only (_resolve_use_pallas — GSPMD can't partition the
+    #   custom-call under a mesh); True forces it anywhere
 ):
     """Full adversarial VITS step: discriminator update, then generator update.
 
