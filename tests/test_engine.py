@@ -269,3 +269,34 @@ def test_adaptive_capacity_ignores_speaking_rate_overrides(tiny_bundle):
     tiny.synthesize("hello sad dame", seed=0)
     assert tiny._frames_per_token <= 1.0  # 2x clamp (true rate is ~4-5)
     assert tiny._frames_per_token > 0.5
+
+
+def test_adaptive_capacity_float32_rate_and_caps(tiny_bundle):
+    """The override guard must compare at float32 — a checkpoint
+    speaking_rate of 0.9 is not exactly representable, and an exact compare
+    would silently disable adaptation for it.  And two more guards: a
+    noise_scale_duration override must not adapt (its durations say nothing
+    about the checkpoint's intrinsic rate), and the ratio never exceeds
+    adaptive_capacity_max."""
+    import dataclasses
+
+    config, params = tiny_bundle
+    config09 = dataclasses.replace(config, speaking_rate=0.9)
+    tok = VitsTokenizer(vocab=dict(VOCAB), pad_token="k", unk_token="z")
+
+    m = Synthesizer(config09, tok, params,
+                    EngineConfig(token_buckets=(32,), frames_per_token=0.5))
+    m.synthesize("hello sad dame", seed=0)  # default controls, rate 0.9
+    assert m._frames_per_token > 0.5  # f32 guard did NOT block adaptation
+
+    m2 = Synthesizer(config, tok, params,
+                     EngineConfig(token_buckets=(32,), frames_per_token=0.5))
+    m2.synthesize("hello sad dame", seed=0, noise_scale_duration=7.0)
+    assert m2.stats["redispatches"] > 0
+    assert m2._frames_per_token == 0.5  # override never adapts
+
+    m3 = Synthesizer(config, tok, params,
+                     EngineConfig(token_buckets=(32,), frames_per_token=0.5,
+                                  adaptive_capacity_max=0.75))
+    m3.synthesize("hello sad dame", seed=0)
+    assert m3._frames_per_token <= 0.75  # hard cap

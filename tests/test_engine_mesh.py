@@ -120,3 +120,19 @@ def test_mesh_speaker_list_pads_with_batch(engines):
     for w, r in zip(waves, ref):
         assert w.shape == r.shape
         np.testing.assert_allclose(w, r, atol=1e-4)
+
+
+def test_mesh_streamer_pins_single_device(engines):
+    """Under a dp mesh the StreamingDecoder must run on ONE chip (pinned
+    param copy), not replicate every chunk across the mesh, and its output
+    must still match the single-device engine's one-shot decode."""
+    from vits_tpu.engine.streaming import StreamingDecoder
+
+    single, sharded = engines
+    stream = StreamingDecoder(sharded, chunk_frames=32, margin_frames=16)
+    leaf = jax.tree.leaves(stream._params)[0]
+    assert len(leaf.devices()) == 1
+    text = TEXTS[0]
+    streamed = stream.synthesize_streaming(text, seed=4)
+    oneshot = single.synthesize(text, seed=4)
+    np.testing.assert_allclose(streamed, oneshot, atol=2e-6)

@@ -327,3 +327,27 @@ def test_stream_endpoint_validates(streaming_server):
     assert resp.status == 400
     resp.read()
     conn.close()
+
+
+def test_keepalive_survives_404_with_body(running_server):
+    """HTTP/1.1 keep-alive: an early-return response (404) must drain the
+    POST body, or the leftover bytes get parsed as the NEXT request line."""
+    import http.client
+
+    url, _ = running_server
+    conn = http.client.HTTPConnection(url.split("//")[1], timeout=120)
+    body = json.dumps({"text": "hello dame"})
+    hdrs = {"Content-Type": "application/json"}
+    try:
+        conn.request("POST", "/nope", body=body, headers=hdrs)
+        r1 = conn.getresponse()
+        r1.read()
+        assert r1.status == 404
+        # Same socket: this request must parse cleanly after the 404.
+        conn.request("POST", "/synthesize", body=body, headers=hdrs)
+        r2 = conn.getresponse()
+        data = r2.read()
+        assert r2.status == 200
+        assert data[:4] == b"RIFF"
+    finally:
+        conn.close()

@@ -64,3 +64,16 @@ def test_stream_small_margin_detectably_diverges(model):
     ).synthesize_streaming(text, seed=5)
     assert streamed.shape == oneshot.shape
     assert not np.allclose(streamed, oneshot, atol=2e-6)
+
+
+def test_warmup_compiles_stream_programs(model):
+    """warmup() must populate the prior/decode program caches so the first
+    real stream pays no cold compile, and streaming afterwards still matches
+    the one-shot decode."""
+    stream = StreamingDecoder(model, chunk_frames=32, margin_frames=16)
+    stream.warmup()
+    assert stream._prior_fn_cache and stream._decode_fn_cache
+    text = "hello sad dame well cheese"
+    streamed = stream.synthesize_streaming(text, seed=5)
+    oneshot = model.synthesize(text, seed=5)
+    np.testing.assert_allclose(streamed, oneshot, atol=2e-6)

@@ -192,6 +192,10 @@ class EngineConfig:
     # rate regime instead of on every utterance.
     adaptive_capacity: bool = True
     adaptive_capacity_step: float = 0.5
+    # Hard ceiling on the learned frames/token ratio: real VITS checkpoints
+    # sit at ~1.5-5, so anything beyond this is pathological input (e.g. a
+    # noise_scale_duration bomb), not a rate regime worth compiling for.
+    adaptive_capacity_max: float = 10.0
     # Computation dtype for the heavy conv stacks ("float32" or "bfloat16").
     compute_dtype: str = "float32"
     # Max batch size compiled into the batched path.
@@ -238,7 +242,9 @@ class EngineConfig:
     # with a non-None dir wins for the whole process.
     compilation_cache_dir: str | None = None
 
-    def frame_bucket(self, token_bucket: int) -> int:
-        frames = int(token_bucket * self.frames_per_token)
+    def frame_bucket(self, token_bucket: int, ratio: float | None = None) -> int:
+        """Frame capacity for a token bucket; ``ratio`` overrides the static
+        frames_per_token (the engine passes its adaptively-raised ratio)."""
+        frames = int(token_bucket * (self.frames_per_token if ratio is None else ratio))
         # Round to a multiple of 8 so the time axis tiles the VPU sublanes.
         return ((frames + 7) // 8) * 8

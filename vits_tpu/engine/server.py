@@ -201,6 +201,16 @@ def make_handler(worker: BatchingWorker, model, request_timeout_s: float = 120.0
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
+            # Read the body BEFORE any early return: under HTTP/1.1
+            # keep-alive an unread POST body stays in the socket and gets
+            # parsed as the NEXT request line, desyncing the connection.
+            try:
+                length = int(self.headers.get("Content-Length", 0) or 0)
+            except ValueError:
+                self.close_connection = True
+                self._json(400, {"error": "bad Content-Length"})
+                return
+            raw = self.rfile.read(length) if length > 0 else b""
             if self.path not in ("/synthesize", "/stream"):
                 self._json(404, {"error": "not found"})
                 return
@@ -208,8 +218,7 @@ def make_handler(worker: BatchingWorker, model, request_timeout_s: float = 120.0
                 self._json(503, {"error": "streaming not enabled"})
                 return
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                payload = json.loads(self.rfile.read(length) or b"{}")
+                payload = json.loads(raw or b"{}")
                 text = payload.get("text")
                 if not text or not isinstance(text, str):
                     self._json(400, {"error": "missing 'text'"})
@@ -375,9 +384,17 @@ def main(argv=None) -> int:
     # without it the first real request pays a cold compile.
     model.warmup(batch_sizes=(1,), token_buckets=model.engine.token_buckets[:2],
                  per_row_seeds=True)
+    # Warm the streaming programs too: without this the FIRST /stream client
+    # pays every prior/window cold compile (20-40 s each on TPU) while
+    # holding one of the max_streams slots.
+    from vits_tpu.engine.streaming import StreamingDecoder
+
+    streamer = StreamingDecoder(model)
+    streamer.warmup(token_buckets=model.engine.token_buckets[:2])
     server, worker = serve(
         model, args.port, args.host, args.batch_window_ms, args.max_batch,
         args.max_queue, args.request_timeout_s, max_streams=args.max_streams,
+        streamer=streamer,
     )
     print(f"vits_tpu serving on http://{args.host}:{args.port}")
     try:

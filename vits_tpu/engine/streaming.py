@@ -58,6 +58,16 @@ class StreamingDecoder:
         pipeline_depth: int = 2,
     ):
         self.synth = synthesizer
+        # Under a dp serving mesh the synthesizer's params are
+        # NamedSharding-replicated; a plain jax.jit over them would run
+        # every chunk replicated on EVERY chip (N-1 chips of duplicate work
+        # contending with the sharded batch dispatches).  Pin a
+        # single-device copy for the streaming programs instead —
+        # replicated -> one-device is a local copy, no cross-chip traffic.
+        self._params = synthesizer.params
+        if getattr(synthesizer, "mesh", None) is not None:
+            dev = synthesizer.mesh.devices.flat[0]
+            self._params = jax.device_put(synthesizer.params, dev)
         self.chunk_frames = chunk_frames
         self.margin_frames = margin_frames
         self.flow_margin_frames = flow_margin_frames
@@ -127,6 +137,40 @@ class StreamingDecoder:
             self._decode_fn_cache[window] = run
         return self._decode_fn_cache[window]
 
+    def warmup(self, token_buckets=None) -> None:
+        """Compile the streaming programs ahead of traffic.
+
+        One prior program per token bucket plus the shared window decode —
+        without this the first /stream client pays every cold compile
+        (20-40 s each on TPU) while occupying a serving stream slot.
+        """
+        synth = self.synth
+        buckets = tuple(token_buckets or synth.engine.token_buckets)
+        window = self.chunk_frames + 2 * self.total_margin
+        controls = synth._controls(None, None, None)
+        rng = jax.random.PRNGKey(0)
+        speakers = [None]
+        if getattr(synth.config, "num_speakers", 1) > 1:
+            speakers.append(np.asarray([0], np.int32))  # (1,) spk signature
+        wave = None
+        for tb in buckets:
+            ids = np.zeros((1, tb), np.int32)
+            mask = np.ones((1, tb), np.float32)
+            num_frames = synth.engine.frame_bucket(tb)
+            for spk in speakers:
+                prior = self._prior_fn(num_frames)(
+                    self._params, jnp.asarray(ids), jnp.asarray(mask), rng,
+                    spk, controls,
+                )
+                w = min(window, num_frames)
+                wave = self._decode_fn(w)(
+                    self._params, prior.prior_latents[:, :w],
+                    prior.frame_mask[..., None][:, :w],
+                    prior.speaker_embeddings,
+                )
+        if wave is not None:
+            np.asarray(wave)  # block until the last compile lands
+
     # ------------------------------------------------------------------ #
     def stream(
         self, text: str, seed: int = 0, speaker_id: int | None = None,
@@ -158,7 +202,7 @@ class StreamingDecoder:
                 pass
 
         prior = self._prior_fn(num_frames)(
-            synth.params, jnp.asarray(ids), jnp.asarray(mask), rng, spk, controls
+            self._params, jnp.asarray(ids), jnp.asarray(mask), rng, spk, controls
         )
         prefetch(prior.total_duration)
 
@@ -169,7 +213,7 @@ class StreamingDecoder:
         spec_wave = None
         if num_frames > window:
             spec_wave = self._decode_fn(window)(
-                synth.params,
+                self._params,
                 prior.prior_latents[:, :window],
                 prior.frame_mask[..., None][:, :window],
                 prior.speaker_embeddings,
@@ -186,7 +230,7 @@ class StreamingDecoder:
             while num_frames < predicted:
                 num_frames *= 2
             prior = self._prior_fn(num_frames)(
-                synth.params, jnp.asarray(ids), jnp.asarray(mask), rng, spk, controls
+                self._params, jnp.asarray(ids), jnp.asarray(mask), rng, spk, controls
             )
         valid_frames = int(np.minimum(np.asarray(prior.total_duration)[0], num_frames))
         prior_latents = prior.prior_latents
@@ -195,7 +239,7 @@ class StreamingDecoder:
         if num_frames <= window:
             # Utterance fits in one window: plain one-shot decode.
             wave = self._decode_fn(num_frames)(
-                synth.params, prior_latents, frame_mask3, prior.speaker_embeddings
+                self._params, prior_latents, frame_mask3, prior.speaker_embeddings
             )
             prefetch(wave)
             yield np.asarray(wave)[0, : valid_frames * up]
@@ -209,7 +253,7 @@ class StreamingDecoder:
                 wave = spec_wave  # lo == 0 for the first chunk
             else:
                 wave = decode(
-                    synth.params,
+                    self._params,
                     prior_latents[:, lo : lo + window],
                     frame_mask3[:, lo : lo + window],
                     prior.speaker_embeddings,

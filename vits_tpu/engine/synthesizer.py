@@ -458,14 +458,8 @@ class Synthesizer:
         return EngineOutput(wave, *host[1:])
 
     def _frame_capacity(self, token_bucket: int) -> int:
-        """Frame capacity for a token bucket at the current working ratio.
-
-        Like ``EngineConfig.frame_bucket`` but uses the adaptively-raised
-        ratio; rounded to a multiple of 8 so the time axis tiles the VPU
-        sublanes.
-        """
-        frames = int(token_bucket * self._frames_per_token)
-        return ((frames + 7) // 8) * 8
+        """Frame capacity for a token bucket at the adaptively-raised ratio."""
+        return self.engine.frame_bucket(token_bucket, ratio=self._frames_per_token)
 
     def _observe_overflow(self, pending: PendingSynthesis, frame_lengths) -> None:
         """Raise the working frames/token ratio to cover an observed overflow.
@@ -475,21 +469,31 @@ class Synthesizer:
         rounded up to ``adaptive_capacity_step`` so compiled shapes stay few.
 
         Guards against poisoning the engine-global ratio: a request that
-        overrides ``speaking_rate`` scales its durations by 1/rate and says
-        nothing about the checkpoint's intrinsic frames/token (it pays the
-        redispatch ladder instead), and one pathological utterance can raise
-        the ratio by at most 2x per overflow (repeated observations — i.e. a
-        real traffic pattern — still converge on the true rate).
+        overrides ``speaking_rate`` or ``noise_scale_duration`` perturbs its
+        own durations and says nothing about the checkpoint's intrinsic
+        frames/token (it pays the redispatch ladder instead); one
+        pathological utterance can raise the ratio by at most 2x per
+        overflow (repeated observations — i.e. a real traffic pattern —
+        still converge on the true rate); and the ratio never exceeds
+        ``adaptive_capacity_max`` (real checkpoints sit at ~1.5-5
+        frames/token — beyond the cap is attack traffic, not a rate regime).
         """
         if not self.engine.adaptive_capacity:
             return
-        if abs(float(pending.controls[2]) - self.config.speaking_rate) > 1e-9:
-            return
+        # Compare at float32: controls are traced f32 scalars while config
+        # values are python floats (float32(0.9) != 0.9 at 1e-9 — an exact
+        # compare would silently disable adaptation for such checkpoints).
+        defaults = (self.config.noise_scale_duration, self.config.speaking_rate)
+        observed = (pending.controls[1], pending.controls[2])
+        for obs, dflt in zip(observed, defaults):
+            if abs(float(obs) - float(np.float32(dflt))) > 1e-6:
+                return
         tokens = np.maximum(np.asarray(pending.mask, np.float32).sum(axis=1), 1.0)
         rate = float(np.max(np.asarray(frame_lengths, np.float32) / tokens))
         step = max(self.engine.adaptive_capacity_step, 1e-3)
         bumped = float(np.ceil(rate / step) * step)
-        bumped = min(bumped, self._frames_per_token * 2.0)
+        bumped = min(bumped, self._frames_per_token * 2.0,
+                     float(self.engine.adaptive_capacity_max))
         if bumped > self._frames_per_token:
             self._frames_per_token = bumped
 
