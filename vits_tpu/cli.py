@@ -16,8 +16,14 @@ import time
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="vits_tpu", description=__doc__)
     parser.add_argument("--model", required=True, help=".ggml path or HF model dir/name")
-    parser.add_argument("--text", action="append", required=True,
+    parser.add_argument("--text", action="append",
                         help="text to synthesize (repeatable for batch)")
+    parser.add_argument("--convert", metavar="WAV",
+                        help="voice conversion: re-synthesize this WAV in the "
+                             "--speaker-id voice (use --source-speaker for "
+                             "multi-speaker checkpoints)")
+    parser.add_argument("--source-speaker", type=int, default=None,
+                        help="speaker the --convert audio was spoken by")
     parser.add_argument("--out", default="output.wav", help="output WAV path (or prefix for batches)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--speaker-id", type=int, default=None)
@@ -39,6 +45,8 @@ def main(argv=None) -> int:
                              "invocations reuse compiled programs instead of "
                              "recompiling (one-shot runs benefit most)")
     args = parser.parse_args(argv)
+    if not args.text and not args.convert:
+        parser.error("provide --text (synthesis) or --convert (voice conversion)")
 
     import vits_tpu
     from vits_tpu.config import EngineConfig
@@ -53,7 +61,20 @@ def main(argv=None) -> int:
         speaking_rate=args.speaking_rate,
     )
     t0 = time.perf_counter()
-    if args.stream:
+    if args.convert:
+        from vits_tpu.utils.wav import read_wav
+
+        audio, in_rate = read_wav(args.convert)
+        if in_rate != model.config.sampling_rate:
+            print(f"error: {args.convert} is {in_rate} Hz; the checkpoint "
+                  f"expects {model.config.sampling_rate} Hz", file=sys.stderr)
+            return 1
+        waves = [model.convert_voice(
+            audio, source_speaker=args.source_speaker,
+            target_speaker=args.speaker_id, seed=args.seed,
+            noise_scale=args.noise_scale or 0.0,
+        )]
+    elif args.stream:
         import numpy as np
 
         from vits_tpu.engine.streaming import StreamingDecoder
@@ -97,7 +118,7 @@ def main(argv=None) -> int:
         f"(incl. compile) -> {', '.join(outs)}"
     )
 
-    if args.bench:
+    if args.bench and args.text:
         times = []
         for _ in range(args.bench):
             t0 = time.perf_counter()

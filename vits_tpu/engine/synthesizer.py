@@ -546,6 +546,161 @@ class Synthesizer:
         return self.collect(pending, max_redispatch=max_redispatch)
 
     # ------------------------------------------------------------------ #
+    @functools.lru_cache(maxsize=None)  # noqa: B019 — engine owns its cache
+    def _compiled_convert(self, num_frames: int):
+        """Voice-conversion program at a static frame capacity (jit-cached)."""
+        from vits_tpu.models.vits import voice_convert
+
+        config = self.config
+        use_pallas = self.engine.use_pallas_vocoder
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        transfer_int16 = self.engine.transfer_int16
+
+        def body(params, spec, frame_mask, src, tgt, rng, noise_scale):
+            out = voice_convert(
+                params, config, spec, frame_mask,
+                source_speaker_id=src, target_speaker_id=tgt,
+                rng=rng, noise_scale=noise_scale,
+                use_pallas=use_pallas,
+                pallas_precision=self.engine.pallas_precision,
+                pallas_value_dtype=self._pallas_value_dtype,
+            )
+            wave = out.waveform
+            if transfer_int16:
+                wave = jnp.round(
+                    jnp.clip(wave.astype(jnp.float32), -1.0, 1.0) * 32767.0
+                ).astype(jnp.int16)
+            return wave
+
+        if self.mesh is None:
+            return jax.jit(body)
+
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        mesh = self.mesh
+
+        def mesh_run(params, spec, frame_mask, src, tgt, rng, noise_scale):
+            in_specs = (
+                jax.tree.map(lambda _: P(), params),
+                P("data"), P("data"),
+                None if src is None else P("data"),
+                None if tgt is None else P("data"),
+                P("data"), P(),
+            )
+            return shard_map(
+                body, mesh=mesh, in_specs=in_specs, out_specs=P("data"),
+                check_rep=False,
+            )(params, spec, frame_mask, src, tgt, rng, noise_scale)
+
+        return jax.jit(mesh_run)
+
+    def convert_voice(
+        self,
+        audio: np.ndarray | Sequence[np.ndarray],
+        *,
+        source_speaker: Optional[int | Sequence[int]] = None,
+        target_speaker: Optional[int | Sequence[int]] = None,
+        seed: int = 0,
+        noise_scale: float = 0.0,
+        trim: bool = True,
+    ):
+        """Voice conversion: source audio -> the same speech in a target voice.
+
+        ``audio`` is one 1-D float32 waveform at ``config.sampling_rate`` (or a
+        list; returns a list).  The source spectrogram is framed exactly like
+        training data (hop = total_upsample, n_fft = 2*(spectrogram_bins-1)) so
+        posterior frames align 1:1 with vocoder latent frames.  The default
+        ``noise_scale=0`` converts from the posterior MEAN — deterministic;
+        raise it (VITS trains at 1.0) for sampled conversions seeded by
+        ``seed``.  Frame capacities are bucketed and jit-cached like synthesis
+        dispatches; on a mesh engine the batch shards over the 'data' axis.
+        """
+        from vits_tpu.train.data import linear_spectrogram
+
+        single = isinstance(audio, np.ndarray) and np.ndim(audio) == 1
+        waves_in = [audio] if single else list(audio)
+        hop = self.config.total_upsample
+        n_fft = 2 * (self.config.spectrogram_bins - 1)
+        pad = (n_fft - hop) // 2
+        specs = []
+        for a in waves_in:
+            a = np.asarray(a, np.float32).reshape(-1)
+            # reflect-pad needs len > pad; conversion needs >= 1 frame
+            floor = max(hop, pad + 1)
+            if len(a) < floor:
+                a = np.pad(a, (0, floor - len(a)))
+            n_frames = len(a) // hop
+            specs.append(linear_spectrogram(a[: n_frames * hop], n_fft, hop)[:n_frames])
+
+        batch = len(specs)
+        if self.mesh is not None:
+            batch += -batch % self.mesh.shape["data"]
+        max_frames = max(s.shape[0] for s in specs)
+        frame_buckets = [
+            self._frame_capacity(tb) for tb in self.engine.token_buckets
+        ]
+        capacity = _next_bucket(frame_buckets, max_frames)
+        spec = np.zeros((batch, capacity, self.config.spectrogram_bins), np.float32)
+        mask = np.zeros((batch, capacity), np.float32)
+        for i, s in enumerate(specs):
+            spec[i, : s.shape[0]] = s
+            mask[i, : s.shape[0]] = 1.0
+
+        def _speakers(value, name):
+            if value is None:
+                return None
+            arr = np.asarray(value, np.int32)
+            out = np.zeros((batch,), np.int32)
+            if arr.ndim == 0:
+                out[:] = arr
+            elif arr.shape == (len(waves_in),):
+                out[: len(waves_in)] = arr
+            else:
+                raise ValueError(
+                    f"{name} list length {arr.shape} != number of inputs "
+                    f"({len(waves_in)})")
+            return out
+
+        src = _speakers(source_speaker, "source_speaker")
+        tgt = _speakers(target_speaker, "target_speaker")
+        base = jax.random.PRNGKey(int(seed))
+        rng = jax.vmap(lambda r: jax.random.fold_in(base, r))(
+            jnp.arange(batch, dtype=jnp.uint32))
+
+        fn = self._compiled_convert(capacity)
+        spec_dev = jnp.asarray(spec, dtype=self.compute_dtype)
+        mask_dev = jnp.asarray(mask, dtype=self.compute_dtype)
+        rng_dev, src_dev, tgt_dev = rng, src, tgt
+        scale_dev = jnp.float32(noise_scale)
+        if self.mesh is not None:
+            put = jax.device_put
+            spec_dev = put(spec_dev, self._data_sharding)
+            mask_dev = put(mask_dev, self._data_sharding)
+            rng_dev = put(rng_dev, self._data_sharding)
+            if src_dev is not None:
+                src_dev = put(jnp.asarray(src_dev), self._data_sharding)
+            if tgt_dev is not None:
+                tgt_dev = put(jnp.asarray(tgt_dev), self._data_sharding)
+            scale_dev = put(scale_dev, self._replicated)
+
+        # per-row keys vmapped inside voice_convert's noise draw
+        def _run():
+            return fn(self.params, spec_dev, mask_dev, src_dev, tgt_dev,
+                      rng_dev, scale_dev)
+
+        wave = np.asarray(jax.device_get(_run()))
+        if wave.dtype == np.int16:
+            wave = wave.astype(np.float32) / 32767.0
+        self.stats["dispatches"] += 1
+        results = []
+        for i in range(len(waves_in)):
+            n = specs[i].shape[0] * hop
+            results.append(wave[i, :n] if trim else wave[i])
+        return results[0] if single else results
+
+    # ------------------------------------------------------------------ #
     def warmup(self, batch_sizes=(1,), token_buckets=None, per_row_seeds=False):
         """Pre-compile the common dispatch shapes.
 

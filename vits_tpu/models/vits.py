@@ -31,6 +31,7 @@ from vits_tpu.models.duration import (
 from vits_tpu.models.encoder import text_encoder
 from vits_tpu.models.flow import residual_coupling_block
 from vits_tpu.models.hifigan import hifigan
+from vits_tpu.models.posterior import posterior_encoder
 
 
 class NoiseOverride(NamedTuple):
@@ -346,4 +347,83 @@ def synthesize(
         frame_lengths=jnp.clip(lat.total_duration, max=2_147_483_000.0).astype(jnp.int32),
         latents=lat.latents,
         log_duration=lat.log_duration,
+    )
+
+
+class VoiceConversionOutput(NamedTuple):
+    waveform: jax.Array  # (B, F * total_upsample) float32 PCM in [-1, 1]
+    latents: jax.Array  # (B, F, flow_size) target-speaker vocoder latents
+    posterior_mean: jax.Array  # (B, F, flow_size) source posterior mean
+
+
+def voice_convert(
+    params: dict,
+    config: VitsConfig,
+    spectrogram: jax.Array,  # (B, F, spectrogram_bins) linear |STFT| of source audio
+    frame_mask: jax.Array,  # (B, F) 1=real frame 0=pad
+    source_speaker_id: Optional[jax.Array] = None,  # (B,) int32
+    target_speaker_id: Optional[jax.Array] = None,  # (B,) int32
+    rng: Optional[jax.Array] = None,
+    noise: Optional[jax.Array] = None,  # (B, F, flow_size) standard normal
+    noise_scale: float | jax.Array = 1.0,
+    use_pallas: bool = False,
+    pallas_precision: Optional[str] = None,
+    pallas_value_dtype: Optional[str] = None,
+) -> VoiceConversionOutput:
+    """Voice conversion: re-synthesize source audio in a target speaker's voice.
+
+    A capability of the VITS architecture the reference engine never exposes
+    (its posterior encoder and forward-flow direction are inference-dead code;
+    the C++ flow asserts reverse-only and every ``global_conditioning`` branch
+    is ``ASSERT(false)`` — /root/reference/src/vits.cpp:461,472,503,603).  The
+    chain is the original-VITS voice_conversion path: posterior-encode the
+    source spectrogram under the SOURCE speaker, run the coupling flow FORWARD
+    (audio latents -> speaker-independent prior frame), then REVERSE under the
+    TARGET speaker and vocode with the target embedding.
+
+    ``noise_scale=0`` (or ``noise=None`` with no rng) converts from the
+    posterior mean — deterministic conversion.  The whole function is one
+    static-shape jittable program; the engine buckets F like synthesis frames.
+    """
+    p = ParamView(params)
+    frame_mask3 = frame_mask[..., None]
+
+    def _embed(speaker_id):
+        if config.num_speakers > 1 and speaker_id is not None:
+            emb = jnp.take(p["embed_speaker.weight"], speaker_id, axis=0)
+            return emb[:, None, :]
+        return None
+
+    g_src = _embed(source_speaker_id)
+    g_tgt = _embed(target_speaker_id)
+
+    if noise is None:
+        shape = (*spectrogram.shape[:2], config.flow_size)
+        if rng is None:
+            noise = jnp.zeros(shape, spectrogram.dtype)
+        elif rng.ndim == 2:  # (B, 2) per-row keys (mesh/engine layout)
+            noise = jax.vmap(
+                lambda k: jax.random.normal(k, shape[1:], spectrogram.dtype)
+            )(rng)
+        else:
+            noise = jax.random.normal(rng, shape, spectrogram.dtype)
+    noise = noise * jnp.asarray(noise_scale, noise.dtype)
+
+    z, post_mean, _ = posterior_encoder(
+        ParamView(params), config, spectrogram, frame_mask3, noise, g_src
+    )
+    # audio latents -> speaker-independent prior frame (training direction)
+    z_p, _ = residual_coupling_block(p, config, z, frame_mask3, g_src, reverse=False)
+    # prior frame -> target-speaker latents (the usual inference direction)
+    latents = latents_from_prior(
+        params, config, z_p, frame_mask3, g_tgt,
+        pallas_precision=pallas_precision,
+    )
+    waveform = hifigan(
+        p, config, latents, frame_mask3, g_tgt,
+        use_pallas=use_pallas, pallas_precision=pallas_precision,
+        pallas_value_dtype=pallas_value_dtype,
+    )
+    return VoiceConversionOutput(
+        waveform=waveform, latents=latents, posterior_mean=post_mean
     )
