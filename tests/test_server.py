@@ -351,3 +351,57 @@ def test_keepalive_survives_404_with_body(running_server):
         assert data[:4] == b"RIFF"
     finally:
         conn.close()
+
+
+def test_convert_endpoint_roundtrip(running_server, tiny_bundle):
+    """POST /convert: WAV in -> converted WAV out, deterministic by default."""
+    import io
+
+    from vits_tpu.utils.wav import read_wav, write_wav
+
+    url, worker = running_server
+    config, _ = tiny_bundle
+    hop = config.total_upsample
+    audio = np.sin(np.linspace(0, 40 * np.pi, 11 * hop)).astype(np.float32) * 0.3
+    buf = io.BytesIO()
+    write_wav(buf, audio, config.sampling_rate)
+    body = buf.getvalue()
+
+    def post(path):
+        req = urllib.request.Request(
+            url + path, data=body, headers={"Content-Type": "audio/wav"})
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            assert resp.headers["Content-Type"] == "audio/wav"
+            return resp.read()
+
+    out1 = post("/convert?seed=0")
+    out2 = post("/convert")
+    assert out1[:4] == b"RIFF" and out1 == out2  # noise_scale=0 default
+    got, rate = read_wav(out1)
+    assert rate == config.sampling_rate and len(got) == 11 * hop
+    assert worker.stats["conversions"] >= 2
+
+
+def test_convert_endpoint_rejects_bad_input(running_server, tiny_bundle):
+    import io
+
+    from vits_tpu.utils.wav import write_wav
+
+    url, _ = running_server
+    config, _ = tiny_bundle
+
+    # garbage body
+    req = urllib.request.Request(
+        url + "/convert", data=b"not a wav", headers={"Content-Type": "audio/wav"})
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=30)
+    assert exc.value.code == 400
+
+    # wrong sample rate
+    buf = io.BytesIO()
+    write_wav(buf, np.zeros(1024, np.float32), config.sampling_rate * 2)
+    req = urllib.request.Request(
+        url + "/convert", data=buf.getvalue(), headers={"Content-Type": "audio/wav"})
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=30)
+    assert exc.value.code == 400

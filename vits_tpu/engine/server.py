@@ -15,6 +15,9 @@ Endpoints:
                        followed by 16-bit PCM chunks as the StreamingDecoder
                        emits them (network TTFA ~= the in-process TTFA, vs
                        full synthesis latency on /synthesize)
+    POST /convert      body = a 16-bit mono WAV at the model rate; query
+                       params ?target_speaker=N&source_speaker=M&seed=S&
+                       noise_scale=F -> audio/wav voice conversion
     GET  /healthz      -> {"status": "ok", ...}
 
 Per-request seeds fold into per-row PRNG keys, so mixed-seed traffic shares
@@ -74,7 +77,7 @@ class BatchingWorker:
         self.max_batch = max_batch
         self.queue: "queue.Queue[_Request]" = queue.Queue(maxsize=max_queue)
         self.stats = {"requests": 0, "batches": 0, "rejected": 0,
-                      "streams": 0, "audio_seconds": 0.0}
+                      "streams": 0, "conversions": 0, "audio_seconds": 0.0}
         # Guards stats read-modify-writes: the worker thread AND every
         # /stream handler thread update these counters.
         self.stats_lock = threading.Lock()
@@ -211,6 +214,10 @@ def make_handler(worker: BatchingWorker, model, request_timeout_s: float = 120.0
                 self._json(400, {"error": "bad Content-Length"})
                 return
             raw = self.rfile.read(length) if length > 0 else b""
+            path_only = self.path.split("?", 1)[0]
+            if path_only == "/convert":
+                self._do_convert(raw)
+                return
             if self.path not in ("/synthesize", "/stream"):
                 self._json(404, {"error": "not found"})
                 return
@@ -268,6 +275,62 @@ def make_handler(worker: BatchingWorker, model, request_timeout_s: float = 120.0
                 return
             buf = io.BytesIO()
             write_wav(buf, req.audio, model.config.sampling_rate)
+            data = buf.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _do_convert(self, raw: bytes) -> None:
+            """Voice conversion: WAV in -> WAV out, params in the query string.
+
+            Conversion dispatches device programs outside the batching worker
+            (like /stream), so it shares the bounded direct-dispatch slots —
+            429 when all are busy."""
+            from urllib.parse import parse_qs, urlparse
+
+            from vits_tpu.utils.wav import read_wav
+
+            try:
+                q = parse_qs(urlparse(self.path).query)
+
+                def _opt_int(key):
+                    return int(q[key][0]) if key in q else None
+
+                src = _opt_int("source_speaker")
+                tgt = _opt_int("target_speaker")
+                seed = _opt_int("seed") or 0
+                noise_scale = float(q["noise_scale"][0]) if "noise_scale" in q else 0.0
+                audio, rate = read_wav(raw)
+            except (ValueError, KeyError) as exc:
+                self._json(400, {"error": f"bad request: {exc}"})
+                return
+            if rate != model.config.sampling_rate:
+                self._json(400, {"error": f"audio is {rate} Hz; model expects "
+                                          f"{model.config.sampling_rate} Hz"})
+                return
+            if not stream_slots.acquire(blocking=False):
+                with worker.stats_lock:
+                    worker.stats["rejected"] += 1
+                self._json(429, {"error": "dispatch slots busy, retry later"})
+                return
+            try:
+                converted = model.convert_voice(
+                    audio, source_speaker=src, target_speaker=tgt,
+                    seed=seed, noise_scale=noise_scale,
+                )
+            except Exception as exc:
+                self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
+                return
+            finally:
+                stream_slots.release()
+            with worker.stats_lock:
+                worker.stats["conversions"] = worker.stats.get("conversions", 0) + 1
+                worker.stats["audio_seconds"] += (
+                    len(converted) / model.config.sampling_rate)
+            buf = io.BytesIO()
+            write_wav(buf, converted, model.config.sampling_rate)
             data = buf.getvalue()
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")

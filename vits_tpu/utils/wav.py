@@ -48,10 +48,13 @@ def streaming_wav_header(sample_rate: int = 16000) -> bytes:
     return header
 
 
-def read_wav(path: str) -> tuple[np.ndarray, int]:
-    """Minimal reader for round-trip tests: returns (float32 audio, rate)."""
-    with open(path, "rb") as f:
-        raw = f.read()
+def read_wav(source: str | bytes) -> tuple[np.ndarray, int]:
+    """Minimal reader (path or raw bytes): returns (float32 audio, rate)."""
+    if isinstance(source, (bytes, bytearray)):
+        raw = bytes(source)
+    else:
+        with open(source, "rb") as f:
+            raw = f.read()
     if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
