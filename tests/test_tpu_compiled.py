@@ -251,3 +251,21 @@ def test_trainable_attention_grads_compiled():
         if g.ndim == 4:
             g, wt = g * m, wt * m
         np.testing.assert_allclose(g, wt, atol=5e-3, rtol=1e-4)
+
+
+def test_engine_voice_conversion_compiled():
+    """Voice conversion program on chip (posterior + fwd flow + Pallas
+    vocoder in ONE jit): synthesize, convert same-speaker, compare mel.
+    Same-speaker conversion at noise_scale=0 is resynthesis from the
+    posterior mean, so the converted audio should stay spectrally close."""
+    from vits_tpu.utils.mel import mel_l1
+
+    model = _fixture_model(use_pallas_vocoder=True, transfer_int16=False)
+    wave = model.synthesize("hello compiled conversion", seed=9)
+    conv = model.convert_voice(wave)
+    assert conv.dtype == np.float32 and np.isfinite(conv).all()
+    assert abs(len(conv) - len(wave)) < model.config.total_upsample
+    again = model.convert_voice(wave)
+    np.testing.assert_array_equal(conv, again)  # deterministic default
+    l1 = float(mel_l1(conv[None, :], wave[None, : len(conv)]))
+    assert l1 < 2.0, l1  # random-weight fixture: loose spectral bound
