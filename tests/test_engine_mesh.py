@@ -136,3 +136,24 @@ def test_mesh_streamer_pins_single_device(engines):
     streamed = stream.synthesize_streaming(text, seed=4)
     oneshot = single.synthesize(text, seed=4)
     np.testing.assert_allclose(streamed, oneshot, atol=2e-6)
+
+
+def test_mesh_convert_voice_matches_single_device(engines):
+    """Voice conversion shards over 'data' and stays row-identical to the
+    single-device engine (per-row keys; deterministic at noise_scale=0)."""
+    single, sharded = engines
+    hop = single.config.total_upsample
+    rng = np.random.default_rng(21)
+    auds = [rng.standard_normal(n * hop).astype(np.float32) * 0.1
+            for n in (19, 7, 12)]
+
+    solo = single.convert_voice(auds)
+    dp = sharded.convert_voice(auds)
+    assert len(solo) == len(dp) == 3
+    for a, b in zip(solo, dp):
+        np.testing.assert_array_equal(a, b)
+
+    # sampled conversions also agree: per-row fold_in keys on both paths
+    s1 = single.convert_voice(auds[0], seed=5, noise_scale=1.0)
+    s2 = sharded.convert_voice(auds[0], seed=5, noise_scale=1.0)
+    np.testing.assert_array_equal(s1, s2)
