@@ -472,6 +472,47 @@ static void vt_json_escape(const char* s, std::string& out) {
     }
 }
 
+// Parse a WAV response body (RIFF....WAVE, fmt + data chunks) into a
+// heap VtAudio; nullptr + e->error on malformed/unsupported layouts.
+static VtAudio* vt_parse_wav_response(VtEngine* e, const std::vector<uint8_t>& body) {
+    if (body.size() < 44 || std::memcmp(body.data(), "RIFF", 4) != 0 ||
+        std::memcmp(body.data() + 8, "WAVE", 4) != 0) {
+        e->error = "response is not a WAV file";
+        return nullptr;
+    }
+    uint32_t rate = 0;
+    uint16_t bits = 0, channels = 0;
+    const uint8_t* pcm = nullptr;
+    uint64_t pcm_bytes = 0;
+    for (uint64_t off = 12; off + 8 <= body.size();) {
+        uint32_t sz;
+        std::memcpy(&sz, body.data() + off + 4, 4);
+        const uint8_t* chunk_data = body.data() + off + 8;
+        if (off + 8 + sz > body.size()) sz = (uint32_t)(body.size() - off - 8);
+        if (std::memcmp(body.data() + off, "fmt ", 4) == 0 && sz >= 16) {
+            std::memcpy(&channels, chunk_data + 2, 2);
+            std::memcpy(&rate, chunk_data + 4, 4);
+            std::memcpy(&bits, chunk_data + 14, 2);
+        } else if (std::memcmp(body.data() + off, "data", 4) == 0) {
+            pcm = chunk_data;
+            pcm_bytes = sz;
+        }
+        off += 8 + sz + (sz & 1);
+    }
+    if (!pcm || bits != 16 || channels != 1) {
+        e->error = "unsupported WAV layout (want 16-bit mono PCM)";
+        return nullptr;
+    }
+    auto* audio = new VtAudio();
+    audio->n_samples = pcm_bytes / 2;
+    audio->sample_rate = rate;
+    audio->samples = (float*)std::malloc(audio->n_samples * sizeof(float));
+    const int16_t* s16 = reinterpret_cast<const int16_t*>(pcm);
+    for (uint64_t i = 0; i < audio->n_samples; ++i)
+        audio->samples[i] = (float)s16[i] / 32767.0f;
+    return audio;
+}
+
 VT_API VtEngine* vt_engine_connect(const char* host, uint16_t port) {
     auto* e = new VtEngine();
     e->host = host ? host : "127.0.0.1";
@@ -541,43 +582,52 @@ VT_API VtAudio* vt_synthesize(VtEngine* e, const char* text, int32_t speaker_id,
                        ": " + std::string(body.begin(), body.end());
         return nullptr;
     }
-    // Parse the WAV container: RIFF....WAVE then chunks; find fmt + data.
-    if (body.size() < 44 || std::memcmp(body.data(), "RIFF", 4) != 0 ||
-        std::memcmp(body.data() + 8, "WAVE", 4) != 0) {
-        e->error = "response is not a WAV file";
+    return vt_parse_wav_response(e, body);
+}
+
+// Voice conversion: float PCM in -> float PCM in the target speaker's voice
+// (the server's POST /convert).  source_speaker / target_speaker < 0 mean
+// "unconditioned" (single-speaker checkpoints); noise_scale < 0 means the
+// deterministic default (0.0 = convert from the posterior mean).
+// sample_rate must match the checkpoint's rate — the server rejects
+// mismatches with HTTP 400 (surfaced via vt_engine_error).
+VT_API VtAudio* vt_convert(VtEngine* e, const float* samples, uint64_t n_samples,
+                           uint32_t sample_rate, int32_t source_speaker,
+                           int32_t target_speaker, int64_t seed,
+                           float noise_scale) {
+    if (!e || !samples || n_samples == 0) return nullptr;
+    e->error.clear();
+
+    std::string path = "/convert?seed=" + std::to_string(seed);
+    if (source_speaker >= 0)
+        path += "&source_speaker=" + std::to_string(source_speaker);
+    if (target_speaker >= 0)
+        path += "&target_speaker=" + std::to_string(target_speaker);
+    if (noise_scale >= 0) {
+        char num[48];
+        std::snprintf(num, sizeof num, "&noise_scale=%.6f", noise_scale);
+        path += num;
+    }
+
+    const uint64_t wav_bytes = vt_wav_size(n_samples);
+    std::string req = "POST " + path + " HTTP/1.1\r\nHost: " + e->host +
+                      "\r\nContent-Type: audio/wav\r\nContent-Length: " +
+                      std::to_string(wav_bytes) +
+                      "\r\nConnection: close\r\n\r\n";
+    size_t header_len = req.size();
+    req.resize(header_len + wav_bytes);
+    vt_wav_encode(samples, n_samples, sample_rate,
+                  reinterpret_cast<uint8_t*>(&req[header_len]));
+
+    std::vector<uint8_t> body;
+    int status = vt_http_roundtrip(e, req, body);
+    if (status != 200) {
+        if (e->error.empty())
+            e->error = "convert returned HTTP " + std::to_string(status) +
+                       ": " + std::string(body.begin(), body.end());
         return nullptr;
     }
-    uint32_t rate = 0;
-    uint16_t bits = 0, channels = 0;
-    const uint8_t* pcm = nullptr;
-    uint64_t pcm_bytes = 0;
-    for (uint64_t off = 12; off + 8 <= body.size();) {
-        uint32_t sz;
-        std::memcpy(&sz, body.data() + off + 4, 4);
-        const uint8_t* chunk_data = body.data() + off + 8;
-        if (off + 8 + sz > body.size()) sz = (uint32_t)(body.size() - off - 8);
-        if (std::memcmp(body.data() + off, "fmt ", 4) == 0 && sz >= 16) {
-            std::memcpy(&channels, chunk_data + 2, 2);
-            std::memcpy(&rate, chunk_data + 4, 4);
-            std::memcpy(&bits, chunk_data + 14, 2);
-        } else if (std::memcmp(body.data() + off, "data", 4) == 0) {
-            pcm = chunk_data;
-            pcm_bytes = sz;
-        }
-        off += 8 + sz + (sz & 1);
-    }
-    if (!pcm || bits != 16 || channels != 1) {
-        e->error = "unsupported WAV layout (want 16-bit mono PCM)";
-        return nullptr;
-    }
-    auto* audio = new VtAudio();
-    audio->n_samples = pcm_bytes / 2;
-    audio->sample_rate = rate;
-    audio->samples = (float*)std::malloc(audio->n_samples * sizeof(float));
-    const int16_t* s16 = reinterpret_cast<const int16_t*>(pcm);
-    for (uint64_t i = 0; i < audio->n_samples; ++i)
-        audio->samples[i] = (float)s16[i] / 32767.0f;
-    return audio;
+    return vt_parse_wav_response(e, body);
 }
 
 VT_API const float* vt_audio_samples(const VtAudio* a) { return a->samples; }

@@ -175,3 +175,49 @@ def test_vt_synthesize_matches_python_engine(tiny_bundle):
 def test_vt_engine_connect_refused():
     with pytest.raises(ConnectionError):
         native.NativeEngineClient(port=1)  # nothing listens there
+
+
+@pytest.mark.skipif(
+    not native.available() or not hasattr(native.load_library(), "vt_convert"),
+    reason="native library with vt_convert not built",
+)
+def test_vt_convert_matches_python_engine(tiny_bundle):
+    """vt_convert through the C ABI == Synthesizer.convert_voice (modulo the
+    two WAV int16 quantizations on the round trip)."""
+    import threading
+
+    from vits_tpu.config import EngineConfig
+    from vits_tpu.engine.server import serve
+    from vits_tpu.engine.synthesizer import Synthesizer
+    from vits_tpu.text.tokenizer import VitsTokenizer
+
+    config, params = tiny_bundle
+    vocab = {c: i for i, c in enumerate("kzyuvdheswm' ablc")}
+    tok = VitsTokenizer(vocab=vocab, pad_token="k", unk_token="z")
+    model = Synthesizer(config, tok, params, EngineConfig(token_buckets=(32,)))
+    server, worker = serve(model, port=0, streaming=False)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = server.server_address[1]
+        hop = config.total_upsample
+        rate = config.sampling_rate
+        audio = np.sin(np.linspace(0, 30 * np.pi, 13 * hop)).astype(np.float32) * 0.3
+
+        with native.NativeEngineClient(port=port) as client:
+            pcm, out_rate = client.convert(audio, rate)
+        assert out_rate == rate and len(pcm) == 13 * hop
+
+        # the request body is int16 WAV: quantize exactly like vt_wav_encode
+        # does (truncation, matching utils.wav.pcm16)
+        sent = (np.clip(audio, -1, 1) * 32767).astype(np.int16)
+        expected = model.convert_voice(sent.astype(np.float32) / 32767.0)
+        np.testing.assert_allclose(pcm, expected, atol=2.0 / 32767)
+
+        # a wrong sample rate is rejected with a readable error
+        with native.NativeEngineClient(port=port) as client:
+            with pytest.raises(RuntimeError, match="Hz"):
+                client.convert(audio, rate * 2)
+    finally:
+        worker.stop()
+        server.shutdown()

@@ -117,6 +117,13 @@ def load_library() -> Optional[ctypes.CDLL]:
                     ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
                     ctypes.c_int64, ctypes.c_float, ctypes.c_float, ctypes.c_float,
                 ]
+                if hasattr(lib, "vt_convert"):  # round-3+ libraries
+                    lib.vt_convert.restype = ctypes.c_void_p
+                    lib.vt_convert.argtypes = [
+                        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+                        ctypes.c_uint64, ctypes.c_uint32, ctypes.c_int32,
+                        ctypes.c_int32, ctypes.c_int64, ctypes.c_float,
+                    ]
                 lib.vt_audio_samples.restype = ctypes.POINTER(ctypes.c_float)
                 lib.vt_audio_samples.argtypes = [ctypes.c_void_p]
                 lib.vt_audio_num_samples.restype = ctypes.c_uint64
@@ -325,6 +332,46 @@ class NativeEngineClient:
             pcm = np.ctypeslib.as_array(ptr, shape=(n,)).copy()
         finally:
             self._lib.vt_audio_free(audio)
+        return pcm, rate
+
+    def convert(
+        self,
+        audio: np.ndarray,
+        sample_rate: int,
+        source_speaker: int | None = None,
+        target_speaker: int | None = None,
+        seed: int = 0,
+        noise_scale: float | None = None,
+    ) -> tuple[np.ndarray, int]:
+        """Voice conversion through the C ABI (``vt_convert``).
+
+        Returns (converted float32 PCM, sample_rate).  ``None`` speakers mean
+        unconditioned; ``noise_scale=None`` is the deterministic default
+        (posterior-mean conversion) — both ride the negative C sentinel.
+        """
+        if not hasattr(self._lib, "vt_convert"):
+            raise RuntimeError("native library predates vt_convert — rebuild")
+        pcm_in = np.ascontiguousarray(audio, dtype=np.float32)
+        out = self._lib.vt_convert(
+            self._handle,
+            pcm_in.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(pcm_in),
+            int(sample_rate),
+            -1 if source_speaker is None else int(source_speaker),
+            -1 if target_speaker is None else int(target_speaker),
+            int(seed),
+            -1.0 if noise_scale is None else float(noise_scale),
+        )
+        if not out:
+            err = self._lib.vt_engine_error(self._handle)
+            raise RuntimeError(err.decode() if err else "vt_convert failed")
+        try:
+            n = int(self._lib.vt_audio_num_samples(out))
+            rate = int(self._lib.vt_audio_sample_rate(out))
+            ptr = self._lib.vt_audio_samples(out)
+            pcm = np.ctypeslib.as_array(ptr, shape=(n,)).copy()
+        finally:
+            self._lib.vt_audio_free(out)
         return pcm, rate
 
     def close(self) -> None:
