@@ -693,6 +693,8 @@ class Synthesizer:
         wave = np.asarray(jax.device_get(_run()))
         if wave.dtype == np.int16:
             wave = wave.astype(np.float32) / 32767.0
+        else:
+            wave = wave.astype(np.float32, copy=False)  # bf16 engines
         self.stats["dispatches"] += 1
         results = []
         for i in range(len(waves_in)):
