@@ -20,6 +20,7 @@
 // Build: cmake -S native -B native/build && cmake --build native/build
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
@@ -360,6 +361,227 @@ VT_API void vt_wav_encode(const float* samples, uint64_t n, uint32_t rate,
         if (v < -1.0f) v = -1.0f;
         pcm[i] = (int16_t)(v * 32767.0f);
     }
+}
+
+// ---------------------------------------------------------------------------
+// Training corpus loader: WAV decode + VITS-framed linear spectrogram
+//
+// The reference has no training and no data loader; this backs the training
+// pipeline (vits_tpu/train/data.py).  Semantics mirror read_wav +
+// linear_spectrogram exactly so the native path is a drop-in fast path:
+//   * 16-bit mono PCM -> float32 = s / 32767.0f        (utils/wav.py)
+//   * frames capped at max_frames, audio truncated to n_frames*hop
+//   * reflect pad (n_fft-hop)/2 per side, Hann window applied in float32,
+//     FFT in double (numpy promotes float32 input to complex128), magnitude
+//     cast back to float32 — matches np.fft.rfft to ~1e-6 relative.
+// Called from a Python thread pool; the ctypes call releases the GIL, so
+// utterances decode in parallel across cores (the numpy path cannot).
+// ---------------------------------------------------------------------------
+
+struct VtUtterance {
+    float* audio;        // n_frames*hop samples (malloc'd)
+    float* spec;         // n_frames x bins row-major magnitudes (malloc'd)
+    uint32_t n_frames;
+    uint32_t bins;       // n_fft/2 + 1
+    uint32_t rate;       // sample rate read from the file header
+    char error[256];     // empty string on success
+};
+
+namespace {
+
+// Iterative radix-2 complex FFT (in-place, double precision) with a
+// precomputed twiddle table (tw[j] = exp(-2*pi*i*j/n), size n/2) and a
+// precomputed bit-reversal permutation.  n must be a power of two.
+struct FftPlan {
+    size_t n;
+    std::vector<double> tw_re, tw_im;  // n/2 twiddles
+    std::vector<uint32_t> rev;         // bit-reversal permutation
+
+    explicit FftPlan(size_t n_) : n(n_), tw_re(n_ / 2), tw_im(n_ / 2), rev(n_) {
+        for (size_t j = 0; j < n / 2; ++j) {
+            const double ang = -2.0 * M_PI * (double)j / (double)n;
+            tw_re[j] = std::cos(ang);
+            tw_im[j] = std::sin(ang);
+        }
+        rev[0] = 0;
+        for (size_t i = 1, j = 0; i < n; ++i) {
+            size_t bit = n >> 1;
+            for (; j & bit; bit >>= 1) j ^= bit;
+            j ^= bit;
+            rev[i] = (uint32_t)j;
+        }
+    }
+
+    void run(double* re, double* im) const {
+        for (size_t i = 0; i < n; ++i) {
+            const size_t j = rev[i];
+            if (i < j) { std::swap(re[i], re[j]); std::swap(im[i], im[j]); }
+        }
+        for (size_t len = 2; len <= n; len <<= 1) {
+            const size_t stride = n / len;
+            const size_t half = len / 2;
+            for (size_t i = 0; i < n; i += len) {
+                const double* wr = tw_re.data();
+                const double* wi = tw_im.data();
+                for (size_t k = 0; k < half; ++k) {
+                    const double cr = wr[k * stride], ci = wi[k * stride];
+                    const double xr = re[i + k + half], xi = im[i + k + half];
+                    const double vr = xr * cr - xi * ci;
+                    const double vi = xr * ci + xi * cr;
+                    const double ur = re[i + k], ui = im[i + k];
+                    re[i + k] = ur + vr; im[i + k] = ui + vi;
+                    re[i + k + half] = ur - vr; im[i + k + half] = ui - vi;
+                }
+            }
+        }
+    }
+};
+
+// numpy 'reflect' (even, boundary excluded) index for position k in
+// [-pad, T+pad); multi-bounce safe for any pad.
+inline int64_t reflect_index(int64_t k, int64_t T) {
+    if (T == 1) return 0;
+    const int64_t period = 2 * (T - 1);
+    k %= period;
+    if (k < 0) k += period;
+    return k < T ? k : period - k;
+}
+
+VtUtterance* utt_fail(VtUtterance* u, const char* msg) {
+    std::snprintf(u->error, sizeof u->error, "%s", msg);
+    return u;
+}
+
+}  // namespace
+
+VT_API VtUtterance* vt_utt_load(const char* path, uint32_t n_fft, uint32_t hop,
+                                uint32_t max_frames) {
+    auto* u = new VtUtterance();
+    std::memset(u, 0, sizeof *u);
+    if (n_fft == 0 || (n_fft & (n_fft - 1)) != 0 || hop == 0 || hop > n_fft)
+        return utt_fail(u, "n_fft must be a power of two and >= hop");
+
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return utt_fail(u, "cannot open file");
+    std::fseek(f, 0, SEEK_END);
+    const long fsize = std::ftell(f);
+    std::fseek(f, 0, SEEK_SET);
+    std::vector<uint8_t> raw((size_t)std::max(fsize, 0L));
+    if (fsize <= 0 || std::fread(raw.data(), 1, raw.size(), f) != raw.size()) {
+        std::fclose(f);
+        return utt_fail(u, "cannot read file");
+    }
+    std::fclose(f);
+
+    // RIFF/WAVE chunk walk (same chunk semantics as utils/wav.py::read_wav).
+    if (raw.size() < 12 || std::memcmp(raw.data(), "RIFF", 4) != 0 ||
+        std::memcmp(raw.data() + 8, "WAVE", 4) != 0)
+        return utt_fail(u, "not a RIFF/WAVE file");
+    const int16_t* pcm = nullptr;
+    uint64_t n_samples = 0;
+    uint32_t rate = 0;
+    bool fmt_ok = false;
+    for (size_t pos = 12; pos + 8 <= raw.size();) {
+        const uint8_t* p = raw.data() + pos;
+        uint32_t size;
+        std::memcpy(&size, p + 4, 4);
+        if (pos + 8 + size > raw.size()) break;
+        if (std::memcmp(p, "fmt ", 4) == 0 && size >= 16) {
+            uint16_t channels, bits;
+            std::memcpy(&channels, p + 8 + 2, 2);
+            std::memcpy(&rate, p + 8 + 4, 4);
+            std::memcpy(&bits, p + 8 + 14, 2);
+            if (channels != 1 || bits != 16)
+                return utt_fail(u, "only 16-bit mono supported");
+            fmt_ok = true;
+        } else if (std::memcmp(p, "data", 4) == 0) {
+            pcm = reinterpret_cast<const int16_t*>(p + 8);
+            n_samples = size / 2;
+        }
+        pos += 8 + size + (size & 1);
+    }
+    if (!fmt_ok || pcm == nullptr) return utt_fail(u, "missing fmt/data chunk");
+    u->rate = rate;
+
+    uint64_t n_frames = n_samples / hop;
+    if (n_frames > max_frames) n_frames = max_frames;
+    u->n_frames = (uint32_t)n_frames;
+    u->bins = n_fft / 2 + 1;
+    if (n_frames == 0) return u;  // caller's min_frames check rejects it
+
+    const uint64_t T = n_frames * hop;
+    u->audio = static_cast<float*>(std::malloc(T * sizeof(float)));
+    u->spec = static_cast<float*>(std::malloc(n_frames * u->bins * sizeof(float)));
+    if (!u->audio || !u->spec) return utt_fail(u, "out of memory");
+    for (uint64_t i = 0; i < T; ++i) u->audio[i] = (float)pcm[i] / 32767.0f;
+
+    // Hann window, computed in double then cast (numpy computes in float64
+    // and .astype(np.float32)s — same rounding).
+    std::vector<float> window(n_fft);
+    for (uint32_t j = 0; j < n_fft; ++j)
+        window[j] = (float)(0.5 - 0.5 * std::cos(2.0 * M_PI * j / (double)n_fft));
+
+    const int64_t pad = (int64_t)(n_fft - hop) / 2;
+    const FftPlan plan(n_fft);
+    std::vector<double> re(n_fft), im(n_fft);
+    // Load a windowed frame (float32 multiply first — numpy windows in
+    // float32, then rfft promotes to double).
+    auto fill = [&](uint64_t fidx, double* dst) {
+        const int64_t start = (int64_t)(fidx * hop) - pad;
+        if (start >= 0 && start + (int64_t)n_fft <= (int64_t)T) {
+            // interior frame: no boundary reflection
+            const float* src = u->audio + start;
+            for (uint32_t j = 0; j < n_fft; ++j)
+                dst[j] = (double)(src[j] * window[j]);
+            return;
+        }
+        for (uint32_t j = 0; j < n_fft; ++j)
+            dst[j] = (double)(
+                u->audio[reflect_index(start + j, (int64_t)T)] * window[j]);
+    };
+    // Two real frames per complex FFT: frame a rides the real part, frame b
+    // the imaginary part; with F = FFT(a + i*b), the two spectra untangle as
+    //   A[k] = (F[k] + conj(F[n-k]))/2,  B[k] = (F[k] - conj(F[n-k]))/(2i)
+    // and only their magnitudes are needed.
+    for (uint64_t fidx = 0; fidx < n_frames; fidx += 2) {
+        const bool paired = fidx + 1 < n_frames;
+        fill(fidx, re.data());
+        if (paired) fill(fidx + 1, im.data());
+        else std::fill(im.begin(), im.end(), 0.0);
+        plan.run(re.data(), im.data());
+        float* out_a = u->spec + fidx * u->bins;
+        float* out_b = paired ? out_a + u->bins : nullptr;
+        for (uint32_t b = 0; b < u->bins; ++b) {
+            const uint32_t nb = (n_fft - b) & (n_fft - 1);
+            const double ar = 0.5 * (re[b] + re[nb]);
+            const double ai = 0.5 * (im[b] - im[nb]);
+            // plain sqrt, not hypot: magnitudes here are nowhere near
+            // double over/underflow and sqrt is several times faster
+            out_a[b] = (float)std::sqrt(ar * ar + ai * ai);
+            if (paired) {
+                const double br = 0.5 * (im[b] + im[nb]);
+                const double bi = -0.5 * (re[b] - re[nb]);
+                out_b[b] = (float)std::sqrt(br * br + bi * bi);
+            }
+        }
+    }
+    return u;
+}
+
+VT_API const char* vt_utt_error(const VtUtterance* u) {
+    return u->error[0] ? u->error : nullptr;
+}
+VT_API const float* vt_utt_audio(const VtUtterance* u) { return u->audio; }
+VT_API const float* vt_utt_spec(const VtUtterance* u) { return u->spec; }
+VT_API uint32_t vt_utt_num_frames(const VtUtterance* u) { return u->n_frames; }
+VT_API uint32_t vt_utt_bins(const VtUtterance* u) { return u->bins; }
+VT_API uint32_t vt_utt_rate(const VtUtterance* u) { return u->rate; }
+
+VT_API void vt_utt_free(VtUtterance* u) {
+    if (!u) return;
+    std::free(u->audio);
+    std::free(u->spec);
+    delete u;
 }
 
 // ---------------------------------------------------------------------------

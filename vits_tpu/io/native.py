@@ -134,6 +134,25 @@ def load_library() -> Optional[ctypes.CDLL]:
                 lib.vt_audio_free.argtypes = [ctypes.c_void_p]
                 lib.vt_engine_close.restype = None
                 lib.vt_engine_close.argtypes = [ctypes.c_void_p]
+            # Corpus loader (vt_utt_*) — absent from pre-round-3 libraries.
+            if hasattr(lib, "vt_utt_load"):
+                lib.vt_utt_load.restype = ctypes.c_void_p
+                lib.vt_utt_load.argtypes = [
+                    ctypes.c_char_p, ctypes.c_uint32, ctypes.c_uint32,
+                    ctypes.c_uint32,
+                ]
+                lib.vt_utt_error.restype = ctypes.c_char_p
+                lib.vt_utt_error.argtypes = [ctypes.c_void_p]
+                for fname in ("vt_utt_audio", "vt_utt_spec"):
+                    fn = getattr(lib, fname)
+                    fn.restype = ctypes.POINTER(ctypes.c_float)
+                    fn.argtypes = [ctypes.c_void_p]
+                for fname in ("vt_utt_num_frames", "vt_utt_bins", "vt_utt_rate"):
+                    fn = getattr(lib, fname)
+                    fn.restype = ctypes.c_uint32
+                    fn.argtypes = [ctypes.c_void_p]
+                lib.vt_utt_free.restype = None
+                lib.vt_utt_free.argtypes = [ctypes.c_void_p]
             _LIB = lib
             break
     return _LIB
@@ -238,6 +257,46 @@ class NativeTokenizer:
         buf = (ctypes.c_int32 * max(cap, 1))()
         n = self._lib.vt_tokenize(self._handle, raw, buf, cap)
         return list(buf[:n])
+
+
+def loader_available() -> bool:
+    """True when the built library has the corpus loader (vt_utt_*)."""
+    lib = load_library()
+    return lib is not None and hasattr(lib, "vt_utt_load")
+
+
+def load_utterance(
+    path: str, n_fft: int, hop: int, max_frames: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Native WAV decode + VITS-framed linear spectrogram.
+
+    Drop-in equivalent of ``read_wav`` + ``train.data.linear_spectrogram``
+    (audio bit-identical, spectrogram ~1e-6 relative — the C++ FFT runs in
+    double like numpy's).  Returns ``(audio[T], spec[n_frames, bins], rate)``;
+    ``n_frames`` may be 0 for too-short audio (empty arrays).  The underlying
+    C call releases the GIL, so calls from a thread pool run in parallel.
+    """
+    lib = load_library()
+    if lib is None or not hasattr(lib, "vt_utt_load"):
+        raise RuntimeError("native corpus loader not available (rebuild native/)")
+    handle = lib.vt_utt_load(path.encode(), n_fft, hop, max_frames)
+    try:
+        err = lib.vt_utt_error(handle)
+        if err:
+            raise ValueError(f"{path}: {err.decode()}")
+        n_frames = lib.vt_utt_num_frames(handle)
+        bins = lib.vt_utt_bins(handle)
+        rate = lib.vt_utt_rate(handle)
+        if n_frames == 0:
+            return (np.empty((0,), np.float32),
+                    np.empty((0, bins), np.float32), rate)
+        audio = np.ctypeslib.as_array(
+            lib.vt_utt_audio(handle), shape=(n_frames * hop,)).copy()
+        spec = np.ctypeslib.as_array(
+            lib.vt_utt_spec(handle), shape=(n_frames, bins)).copy()
+        return audio, spec, rate
+    finally:
+        lib.vt_utt_free(handle)
 
 
 def wav_encode(samples: np.ndarray, rate: int) -> bytes:

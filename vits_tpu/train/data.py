@@ -75,6 +75,8 @@ class VitsDataset:
         config: VitsConfig,
         max_frames: int = 400,
         min_frames: int = 8,
+        use_native: Optional[bool] = None,
+        num_workers: int = 0,
     ):
         self.tokenizer = tokenizer
         self.config = config
@@ -85,13 +87,33 @@ class VitsDataset:
         self.utterances = read_metadata(corpus_dir)
         if not self.utterances:
             raise FileNotFoundError(f"no utterances found under {corpus_dir}")
+        # Native fast path: C++ WAV decode + spectrogram (releases the GIL, so
+        # num_workers threads decode in parallel).  Auto-on when the built
+        # library has it and n_fft is a power of two (the C FFT's constraint).
+        if use_native is None:
+            from vits_tpu.io import native
+
+            use_native = (
+                native.loader_available()
+                and self.n_fft & (self.n_fft - 1) == 0
+            )
+        self.use_native = bool(use_native)
+        self.num_workers = max(0, int(num_workers))
+        self._pool = None
 
     def __len__(self) -> int:
         return len(self.utterances)
 
     def load(self, utt: Utterance):
         """-> (token_ids, spectrogram (S, bins), audio (S*hop,)) or None."""
-        audio, rate = read_wav(utt.wav_path)
+        if self.use_native:
+            from vits_tpu.io import native
+
+            audio, spec, rate = native.load_utterance(
+                utt.wav_path, self.n_fft, self.hop, self.max_frames
+            )
+        else:
+            audio, rate = read_wav(utt.wav_path)
         if rate != self.config.sampling_rate:
             raise ValueError(
                 f"{utt.wav_path}: rate {rate} != config {self.config.sampling_rate}"
@@ -100,9 +122,27 @@ class VitsDataset:
         n_frames = min(len(audio) // self.hop, self.max_frames)
         if n_frames < self.min_frames or not ids:
             return None
-        audio = audio[: n_frames * self.hop]
-        spec = linear_spectrogram(audio, self.n_fft, self.hop)[:n_frames]
+        if not self.use_native:
+            audio = audio[: n_frames * self.hop]
+            spec = linear_spectrogram(audio, self.n_fft, self.hop)[:n_frames]
         return np.asarray(ids, np.int32), spec, audio
+
+    def _load_many(self, utts: Sequence[Utterance]) -> list:
+        """Load a batch worth of utterances, dropping rejects; parallel when
+        num_workers > 0 (worthwhile with the native loader — its C calls
+        release the GIL)."""
+        if self.num_workers > 0:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(
+                    max_workers=self.num_workers,
+                    thread_name_prefix="vits-data",
+                )
+            results = list(self._pool.map(self.load, utts))
+        else:
+            results = [self.load(u) for u in utts]
+        return [r for r in results if r is not None]
 
     def batches(
         self,
@@ -123,11 +163,9 @@ class VitsDataset:
                     key=lambda i: os.path.getsize(self.utterances[i].wav_path),
                 )
                 for b0 in range(0, len(idxs), batch_size):
-                    items = []
-                    for i in idxs[b0 : b0 + batch_size]:
-                        loaded = self.load(self.utterances[i])
-                        if loaded is not None:
-                            items.append(loaded)
+                    items = self._load_many(
+                        [self.utterances[i] for i in idxs[b0 : b0 + batch_size]]
+                    )
                     if not items:
                         continue
                     yield self._collate(items, bucket_mult)
