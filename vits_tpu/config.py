@@ -241,6 +241,11 @@ class EngineConfig:
     # NOTE jax has ONE process-global cache — the last engine constructed
     # with a non-None dir wins for the whole process.
     compilation_cache_dir: str | None = None
+    # AOT program bundle (io/aot.py): dispatch pre-exported StableHLO
+    # programs instead of tracing the model — a versioned, auditable serving
+    # artifact.  Exported signatures dispatch trace-free; others fall back
+    # to normal jit (stats["aot_misses"]).  None = disabled.
+    aot_bundle_dir: str | None = None
 
     def frame_bucket(self, token_bucket: int, ratio: float | None = None) -> int:
         """Frame capacity for a token bucket; ``ratio`` overrides the static

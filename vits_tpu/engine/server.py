@@ -199,7 +199,11 @@ def make_handler(worker: BatchingWorker, model, request_timeout_s: float = 120.0
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._json(200, {"status": "ok", **worker.stats})
+                engine_stats = {
+                    k: v for k, v in getattr(model, "stats", {}).items()
+                    if k.startswith("aot_")  # AOT bundle hit/miss (io/aot.py)
+                }
+                self._json(200, {"status": "ok", **worker.stats, **engine_stats})
             else:
                 self._json(404, {"error": "not found"})
 
@@ -427,6 +431,9 @@ def main(argv=None) -> int:
     ap.add_argument("--compilation-cache", default=None, metavar="DIR",
                     help="persistent XLA compilation cache: restarts reuse "
                          "compiled bucket programs instead of recompiling")
+    ap.add_argument("--aot-bundle", default=None, metavar="DIR",
+                    help="AOT program bundle (scripts/export_aot.py): serve "
+                         "pre-exported programs without tracing the model")
     args = ap.parse_args(argv)
 
     import vits_tpu
@@ -439,8 +446,10 @@ def main(argv=None) -> int:
         from vits_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(data=args.dp, model=1, devices=jax.devices()[: args.dp])
-    eng = (EngineConfig(compilation_cache_dir=args.compilation_cache)
-           if args.compilation_cache else None)
+    eng = None
+    if args.compilation_cache or args.aot_bundle:
+        eng = EngineConfig(compilation_cache_dir=args.compilation_cache,
+                           aot_bundle_dir=args.aot_bundle)
     model = vits_tpu.load_model(args.model, eng, mesh=mesh)
     # per_row_seeds: the worker always passes seed LISTS, whose (B, 2) key
     # layout is a different program signature from scalar-seed warmup —

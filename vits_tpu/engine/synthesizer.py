@@ -167,6 +167,23 @@ class Synthesizer:
             "audio_seconds": 0.0,
             "wall_seconds": 0.0,
         }
+        # AOT program bundle: serve pre-exported StableHLO programs
+        # (io/aot.py).  Verified against this model/engine before first use;
+        # the bundle's frame ratio is adopted so dispatch frame capacities
+        # line up with the exported programs.
+        self._aot = None
+        if self.engine.aot_bundle_dir:
+            from vits_tpu.io.aot import AotBundle
+
+            self._aot = AotBundle(self.engine.aot_bundle_dir)
+            self._aot.verify(self)
+            # Adopt the bundle's frame ratio exactly: dispatch capacities must
+            # equal the exported programs' or every lookup misses.  If real
+            # traffic still overflows, the ladder/adaptive path stays correct
+            # (those re-dispatches fall back to jit and count as aot_misses).
+            self._frames_per_token = self._aot.frames_per_token
+            self.stats["aot_hits"] = 0
+            self.stats["aot_misses"] = 0
 
     # ------------------------------------------------------------------ #
     @classmethod
@@ -279,7 +296,14 @@ class Synthesizer:
         import time
 
         t0 = time.perf_counter()
-        fn = self._compiled(num_frames)
+        fn = None
+        if self._aot is not None:
+            fn = self._aot.lookup(
+                ids.shape[0], ids.shape[1], num_frames,
+                rng_rows=(np.ndim(rng) == 2), speaker=speaker_id is not None)
+            self.stats["aot_hits" if fn is not None else "aot_misses"] += 1
+        if fn is None:
+            fn = self._compiled(num_frames)
         if controls is None:
             controls = self._controls(None, None, None)
         ids_dev = jnp.asarray(ids)
