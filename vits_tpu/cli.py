@@ -38,6 +38,10 @@ def main(argv=None) -> int:
                         help="after synthesis, time N repeat runs (bench_e2e.cpp behavior)")
     parser.add_argument("--stream", action="store_true",
                         help="chunked streaming decode (prints per-chunk TTFA)")
+    parser.add_argument("--sp", type=int, default=0, metavar="N",
+                        help="shard each utterance's flow+vocoder over N "
+                             "chips (time-axis sharding; sample-exact, cuts "
+                             "single-utterance latency ~Nx)")
     parser.add_argument("--long", action="store_true", dest="longform",
                         help="split long text at sentences, batch, and stitch")
     parser.add_argument("--compilation-cache", default=None, metavar="DIR",
@@ -96,6 +100,17 @@ def main(argv=None) -> int:
 
         waves = [synthesize_long(model, " ".join(args.text), seed=args.seed,
                                  speaker_id=args.speaker_id, **controls)]
+    elif args.sp > 1:
+        from vits_tpu.engine.sp import ShardedDecoder
+        from vits_tpu.parallel.mesh import make_mesh
+
+        import jax
+
+        sp = ShardedDecoder(
+            model, mesh=make_mesh(data=args.sp, model=1,
+                                  devices=jax.devices()[: args.sp]))
+        waves = [sp.synthesize(t, seed=args.seed, speaker_id=args.speaker_id,
+                               **controls) for t in args.text]
     else:
         waves = model.synthesize(list(args.text), seed=args.seed,
                                  speaker_id=args.speaker_id, **controls)
