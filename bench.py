@@ -153,6 +153,31 @@ def main() -> int:
         # dispatch already performs — no extra readbacks in the timed window.
         return (model.stats["audio_seconds"] - audio_before) / wall
 
+    # VITS_BENCH_SP=N: time-axis sharded decode (engine/sp.py) — single-
+    # stream LATENCY over N chips, sequential by design (that's the metric).
+    sp_n = int(os.environ.get("VITS_BENCH_SP", "0"))
+    if sp_n > 1:
+        from vits_tpu.engine.sp import ShardedDecoder
+        from vits_tpu.parallel.mesh import make_mesh
+
+        sp = ShardedDecoder(model, mesh=make_mesh(
+            data=sp_n, model=1, devices=jax.devices()[:sp_n]))
+        sp.synthesize(SENTENCES[0], seed=0)  # warm the sharded programs
+        t0 = time.perf_counter()
+        audio_s = 0.0
+        for i in range(n_iters):
+            wave = sp.synthesize(SENTENCES[i % len(SENTENCES)], seed=i)
+            audio_s += len(wave) / rate
+        xrt_sp = audio_s / (time.perf_counter() - t0)
+        print(json.dumps({
+            "metric": "xRT_single_stream_sp",
+            "value": round(xrt_sp, 2),
+            "unit": "audio_sec/wall_sec",
+            "vs_baseline": round(xrt_sp / 100.0, 3),
+            "sp": sp_n,
+        }))
+        return 0
+
     # Both operating points every run, self-describing (ADVICE round 2):
     # the pipelined number is the serving throughput, the depth-1 number is
     # the strict sequential latency variant (tunnel RTT billed per utterance).

@@ -128,3 +128,21 @@ def test_bundle_version_gate(bundle, tmp_path):
         json.dump(manifest, f)
     with pytest.raises(ValueError, match="version"):
         AotBundle(str(bad))
+
+
+def test_cross_platform_tpu_export(bundle, tmp_path):
+    """TPU programs (XLA path) export from a CPU host: the deploy-from-
+    build-machine flow.  Deserialization succeeds; the platform is recorded
+    so a CPU engine can't dispatch it (and vice versa)."""
+    from jax import export as jexport
+
+    _, ref, _ = bundle
+    out = str(tmp_path / "tpu_bundle")
+    manifest = export_bundle(ref, out, batch_sizes=(1,),
+                             per_row_seeds=(False,), with_speaker=False,
+                             platforms=("tpu",))
+    assert all(e["platforms"] == ["tpu"] for e in manifest["programs"])
+    prog = manifest["programs"][0]["file"]
+    with open(os.path.join(out, prog), "rb") as f:
+        exp = jexport.deserialize(f.read())
+    assert exp.platforms == ("tpu",)

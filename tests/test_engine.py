@@ -300,3 +300,61 @@ def test_adaptive_capacity_float32_rate_and_caps(tiny_bundle):
                                   adaptive_capacity_max=0.75))
     m3.synthesize("hello sad dame", seed=0)
     assert m3._frames_per_token <= 0.75  # hard cap
+
+
+# ------------------------- batch bucketing ---------------------------- #
+
+
+@pytest.fixture(scope="module")
+def bucketed_model(tiny_bundle):
+    config, params = tiny_bundle
+    tok = VitsTokenizer(vocab=dict(VOCAB), pad_token="k", unk_token="z")
+    eng = EngineConfig(token_buckets=(32, 64), frames_per_token=4.0,
+                       batch_buckets=(1, 2, 4))
+    return Synthesizer(config, tok, params, eng)
+
+
+def test_batch_buckets_rows_match_unbucketed(tiny_bundle, bucketed_model):
+    """Per-row-seed outputs are invariant to batch padding (rows 3 -> 4)."""
+    config, params = tiny_bundle
+    tok = VitsTokenizer(vocab=dict(VOCAB), pad_token="k", unk_token="z")
+    plain = Synthesizer(config, tok, params, EngineConfig(
+        token_buckets=(32, 64), frames_per_token=4.0))
+    texts = ["hello", "sad dame", "well cheese"]
+    a = plain.synthesize(texts, seed=[1, 2, 3])
+    b = bucketed_model.synthesize(texts, seed=[1, 2, 3])
+    assert len(a) == len(b) == 3
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_batch_buckets_bound_compiled_shapes(bucketed_model):
+    """Batches of 2, 3, 4 rows all ride the batch-4 bucket: no dispatch
+    signature with a batch dimension outside the configured buckets."""
+    texts = ["hello", "sad dame", "well cheese", "be well"]
+    for n in (2, 3, 4):
+        bucketed_model.synthesize(texts[:n], seed=list(range(n)))
+    batch_dims = {sig[0] for sig in bucketed_model._dispatch_shapes}
+    assert batch_dims <= {1, 2, 4}, batch_dims
+    assert 3 not in batch_dims
+
+
+def test_batch_buckets_scalar_seed_pad_invariant(bucketed_model):
+    """Scalar seeds expand to per-row keys: each row's audio is independent
+    of how many rows rode the dispatch (the mesh-mode noise contract)."""
+    c2 = bucketed_model.synthesize(["hello", "sad dame"], seed=7)
+    c3 = bucketed_model.synthesize(["hello", "sad dame", "well"], seed=7)
+    np.testing.assert_array_equal(c2[0], c3[0])
+    np.testing.assert_array_equal(c2[1], c3[1])
+
+
+def test_batch_buckets_single_text_unchanged(tiny_bundle, bucketed_model):
+    """Bucket 1 exists, so single-string synthesis keeps the scalar-key
+    noise stream — identical to an unbucketed engine."""
+    config, params = tiny_bundle
+    tok = VitsTokenizer(vocab=dict(VOCAB), pad_token="k", unk_token="z")
+    plain = Synthesizer(config, tok, params, EngineConfig(
+        token_buckets=(32, 64), frames_per_token=4.0))
+    np.testing.assert_array_equal(
+        plain.synthesize("hello sad dame", seed=5),
+        bucketed_model.synthesize("hello sad dame", seed=5))

@@ -200,6 +200,12 @@ class EngineConfig:
     compute_dtype: str = "float32"
     # Max batch size compiled into the batched path.
     max_batch: int = 32
+    # Batch-size buckets: a batch of B rows pads up to the smallest bucket
+    # >= B (pad rows are masked and dropped — bit-identical outputs, the
+    # batching parity invariant).  Bounds the compiled-program count under
+    # serving traffic of ragged batch sizes and lets AOT bundles cover every
+    # dispatch with a handful of exported batches.  None = dispatch exact B.
+    batch_buckets: tuple[int, ...] | None = None
     # Route HiFiGAN resblocks through the fused Pallas kernel.
     # None = auto (enabled on TPU backends), True/False = force.
     use_pallas_vocoder: bool | None = None

@@ -446,10 +446,19 @@ def main(argv=None) -> int:
         from vits_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(data=args.dp, model=1, devices=jax.devices()[: args.dp])
-    eng = None
-    if args.compilation_cache or args.aot_bundle:
-        eng = EngineConfig(compilation_cache_dir=args.compilation_cache,
-                           aot_bundle_dir=args.aot_bundle)
+    # Batch buckets (powers of two up to max_batch): the worker's collected
+    # batch size varies with traffic, and without bucketing every distinct B
+    # is its own compiled program.  Server requests always ride per-row seeds,
+    # so bucketing never changes audio (rows are pad-invariant).
+    buckets = []
+    b = 1
+    while b < args.max_batch:
+        buckets.append(b)
+        b *= 2
+    buckets.append(args.max_batch)
+    eng = EngineConfig(compilation_cache_dir=args.compilation_cache,
+                       aot_bundle_dir=args.aot_bundle,
+                       batch_buckets=tuple(dict.fromkeys(buckets)))
     model = vits_tpu.load_model(args.model, eng, mesh=mesh)
     # per_row_seeds: the worker always passes seed LISTS, whose (B, 2) key
     # layout is a different program signature from scalar-seed warmup —

@@ -400,6 +400,10 @@ class Synthesizer:
         max_len = max((len(e) for e in encoded), default=1) or 1
         t_bucket = _next_bucket(self.engine.token_buckets, max_len)
         ids, mask = self.tokenizer.pad(encoded, pad_to=t_bucket)
+        if pad_to_batch is None and self.engine.batch_buckets:
+            # batch bucketing: bound the compiled-program count over ragged
+            # serving batch sizes (pad rows are masked + dropped on collect)
+            pad_to_batch = _next_bucket(self.engine.batch_buckets, ids.shape[0])
         if pad_to_batch is not None and ids.shape[0] < pad_to_batch:
             pad_rows = pad_to_batch - ids.shape[0]
             ids = np.pad(ids, ((0, pad_rows), (0, 0)))
@@ -429,12 +433,17 @@ class Synthesizer:
                     f"({len(texts)})")
 
         if isinstance(seed, (int, np.integer)):
-            if self.mesh is not None:
+            if self.mesh is not None or (
+                self.engine.batch_buckets and ids.shape[0] > 1
+            ):
                 # Mesh dispatch runs per-row programs under shard_map, which
                 # cannot reproduce the single-key whole-batch noise stream —
                 # expand a scalar seed to per-row keys (fold_in row index).
                 # Deterministic, rows independent; audio differs from the
-                # single-chip scalar-seed stream by construction.
+                # single-chip scalar-seed stream by construction.  Batch
+                # bucketing takes the same contract for multi-row batches:
+                # the single-key stream depends on the PADDED batch size,
+                # while per-row keys make each row invariant to bucketing.
                 base = jax.random.PRNGKey(int(seed))
                 rng = jax.vmap(lambda r: jax.random.fold_in(base, r))(
                     jnp.arange(ids.shape[0], dtype=jnp.uint32))
