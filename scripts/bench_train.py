@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--no-pallas", action="store_true",
                     help="disable the custom-VJP fused trio in the generator "
                          "forward (round-3 default: on for TPU)")
+    ap.add_argument("--dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="compute dtype for the model math (masters stay fp32)")
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="microbatches per optimizer update")
     args = ap.parse_args()
 
     import jax
@@ -63,7 +68,8 @@ def main():
     gen_opt = optax.adamw(2e-4)
     disc_opt = optax.adamw(2e-4)
 
-    results = {"shape": {"batch": B, "tokens": T, "frames": S}}
+    results = {"shape": {"batch": B, "tokens": T, "frames": S},
+               "compute_dtype": args.dtype, "grad_accum": args.grad_accum}
 
     def timed(step_fn, carry_init, n):
         carry = carry_init()
@@ -85,7 +91,8 @@ def main():
     results["use_pallas"] = bool(_resolve_use_pallas(use_pallas))
 
     # generator-only step
-    g_step = make_train_step(config, gen_opt, donate=False, use_pallas=use_pallas)
+    g_step = make_train_step(config, gen_opt, donate=False, use_pallas=use_pallas,
+                             compute_dtype=args.dtype, grad_accum=args.grad_accum)
     g_opt_state = gen_opt.init(gen_params)
 
     def g_init():
@@ -99,7 +106,9 @@ def main():
 
     # full GAN step (single generator forward via vjp pullback)
     gan_step = make_gan_train_step(config, gen_opt, disc_opt, donate=False,
-                                   use_pallas=use_pallas)
+                                   use_pallas=use_pallas,
+                                   compute_dtype=args.dtype,
+                                   grad_accum=args.grad_accum)
     gp_state = gen_opt.init(gen_params)
     dp_state = disc_opt.init(disc_params)
 

@@ -117,6 +117,49 @@ def shard_params(params: Mapping, mesh: Mesh, model_parallel: bool = True) -> di
     return out
 
 
+def opt_state_shardings(opt_state, mesh: Mesh):
+    """ZeRO-1 shardings: partition optimizer moments over the 'data' axis.
+
+    With pure data parallelism the params are replicated but the optimizer
+    statistics (Adam mu/nu — 2x the param bytes) need not be: each chip can
+    own 1/dp of every moment tensor, update its slice, and let XLA all-gather
+    only the (transient) parameter updates.  That is exactly what GSPMD emits
+    when the new opt_state is constrained to these shardings inside the train
+    step (reduce-scattered grads -> sharded moment update -> all-gathered
+    updates) — the standard ZeRO-1/optimizer-state-sharding recipe, expressed
+    as shardings rather than hand-written collectives.
+
+    Rule per leaf: first dim divisible by dp shards over 'data'; scalars and
+    indivisible shapes replicate.  Returns a pytree of NamedShardings matching
+    ``opt_state`` — pass it to make_train_step(opt_shardings=...) /
+    make_gan_train_step and device_put the initial state with it
+    (shard_opt_state).
+    """
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    dp = axis_sizes.get(DATA_AXIS, 1)
+
+    def leaf(x):
+        shape = getattr(x, "shape", ())
+        if dp > 1:
+            for d, s in enumerate(shape):
+                if s >= dp and s % dp == 0:
+                    spec = [None] * len(shape)
+                    spec[d] = DATA_AXIS
+                    return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(leaf, opt_state)
+
+
+def shard_opt_state(opt_state, mesh: Mesh):
+    """Place an optimizer state on the mesh per opt_state_shardings."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, s),
+        opt_state,
+        opt_state_shardings(opt_state, mesh),
+    )
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Batch-sharded activation sharding (leading dim over 'data', plus
     'slice' when the mesh has one — batch divides across slices too)."""

@@ -35,6 +35,12 @@ def train(
     seed: int = 0,
     adversarial: bool = True,
     model_parallel: int = 1,
+    grad_accum: int = 1,  # microbatches per optimizer update (lax.scan'd):
+    #   activation memory of batch_size/grad_accum at full-batch statistics
+    compute_dtype: str = "float32",  # "bfloat16": bf16 model math on the MXU,
+    #   fp32 master params/optimizer/losses (train/step.py)
+    zero1: bool = False,  # shard Adam moments over the 'data' axis (ZeRO-1):
+    #   2x-param-bytes of optimizer state drop to 2x/dp per chip
     log=print,
     metrics_hook=None,
     stall_seconds: float = 600.0,
@@ -95,6 +101,15 @@ def train(
         gen_opt_state = gen_opt.init(gen_params)
         disc_opt_state = disc_opt.init(disc_params)
 
+        gen_opt_sh = disc_opt_sh = None
+        if zero1:
+            from vits_tpu.parallel.mesh import opt_state_shardings, shard_opt_state
+
+            gen_opt_sh = opt_state_shardings(gen_opt_state, mesh)
+            disc_opt_sh = opt_state_shardings(disc_opt_state, mesh)
+            gen_opt_state = shard_opt_state(gen_opt_state, mesh)
+            disc_opt_state = shard_opt_state(disc_opt_state, mesh)
+
         start_step = 0
         if latest_step(out_dir) is not None:
             restored = restore_checkpoint(
@@ -107,17 +122,27 @@ def train(
                 disc_params = shard_params(restored["disc_params"], mesh, False)
             if restored["gen_opt_state"] is not None:
                 gen_opt_state = restored["gen_opt_state"]
+                if zero1:
+                    gen_opt_state = shard_opt_state(gen_opt_state, mesh)
             if restored["disc_opt_state"] is not None:
                 disc_opt_state = restored["disc_opt_state"]
+                if zero1:
+                    disc_opt_state = shard_opt_state(disc_opt_state, mesh)
             start_step = restored["step"]
             log(f"resumed from step {start_step}")
 
         if adversarial:
             step_fn = make_gan_train_step(
-                config, gen_opt, disc_opt, segment_frames=segment_frames
+                config, gen_opt, disc_opt, segment_frames=segment_frames,
+                grad_accum=grad_accum, compute_dtype=compute_dtype,
+                gen_opt_shardings=gen_opt_sh, disc_opt_shardings=disc_opt_sh,
             )
         else:
-            step_fn = make_train_step(config, gen_opt, segment_frames=segment_frames)
+            step_fn = make_train_step(
+                config, gen_opt, segment_frames=segment_frames,
+                grad_accum=grad_accum, compute_dtype=compute_dtype,
+                opt_shardings=gen_opt_sh,
+            )
 
         ema_params = ema.init(gen_params)
         if start_step:
@@ -247,11 +272,19 @@ def main(argv=None) -> int:
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--no-gan", action="store_true")
     ap.add_argument("--model-parallel", type=int, default=1)
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="microbatches per optimizer update")
+    ap.add_argument("--dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="model compute dtype (master params stay fp32)")
+    ap.add_argument("--zero1", action="store_true",
+                    help="shard optimizer moments over the data axis (ZeRO-1)")
     args = ap.parse_args(argv)
     train(
         args.corpus, args.model, args.out,
         steps=args.steps, batch_size=args.batch_size, learning_rate=args.lr,
         adversarial=not args.no_gan, model_parallel=args.model_parallel,
+        grad_accum=args.grad_accum, compute_dtype=args.dtype, zero1=args.zero1,
     )
     return 0
 

@@ -20,7 +20,17 @@ def kl_divergence(
     logs_p: jax.Array,  # (B, S, C) aligned prior log-stddev
     frame_mask: jax.Array,  # (B, S)
 ) -> jax.Array:
-    """Masked mean KL (the VITS formulation on flow-mapped samples)."""
+    """Masked mean KL (the VITS formulation on flow-mapped samples).
+
+    Inputs are upcast to fp32 so the loss (a masked sum over all frames) stays
+    precise when the forward pass runs in bfloat16 (mixed-precision training);
+    a no-op under fp32.
+    """
+    z_p = z_p.astype(jnp.float32)
+    logs_q = logs_q.astype(jnp.float32)
+    m_p = m_p.astype(jnp.float32)
+    logs_p = logs_p.astype(jnp.float32)
+    frame_mask = frame_mask.astype(jnp.float32)
     mask = frame_mask[..., None]
     kl = logs_p - logs_q - 0.5
     kl = kl + 0.5 * (jnp.exp(2.0 * logs_q) + (z_p - m_p) ** 2) * jnp.exp(-2.0 * logs_p)
@@ -28,12 +38,17 @@ def kl_divergence(
 
 
 def feature_matching_loss(real_feats, fake_feats) -> jax.Array:
-    """L1 distance between discriminator feature maps (GAN stabilizer)."""
+    """L1 distance between discriminator feature maps (GAN stabilizer).
+
+    Feature maps are upcast to fp32 before the reductions (exact under fp32,
+    keeps the scalar precise under bfloat16 mixed-precision training).
+    """
     total = 0.0
     count = 0
     for rf, ff in zip(real_feats, fake_feats):
         for r, f in zip(rf, ff):
-            total = total + jnp.mean(jnp.abs(jax.lax.stop_gradient(r) - f))
+            r32 = jax.lax.stop_gradient(r).astype(jnp.float32)
+            total = total + jnp.mean(jnp.abs(r32 - f.astype(jnp.float32)))
             count += 1
     return total / max(count, 1)
 
@@ -42,7 +57,7 @@ def generator_adversarial_loss(fake_logits) -> jax.Array:
     """LSGAN generator loss: mean (1 - D(fake))^2 over all discriminators."""
     total = 0.0
     for logits in fake_logits:
-        total = total + jnp.mean((1.0 - logits) ** 2)
+        total = total + jnp.mean((1.0 - logits.astype(jnp.float32)) ** 2)
     return total / max(len(fake_logits), 1)
 
 
@@ -50,6 +65,8 @@ def discriminator_loss(real_logits, fake_logits) -> jax.Array:
     """LSGAN discriminator loss."""
     total = 0.0
     for r, f in zip(real_logits, fake_logits):
+        r = r.astype(jnp.float32)
+        f = f.astype(jnp.float32)
         total = total + jnp.mean((1.0 - r) ** 2) + jnp.mean(f**2)
     return total / max(len(real_logits), 1)
 
