@@ -405,3 +405,37 @@ def test_convert_endpoint_rejects_bad_input(running_server, tiny_bundle):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(req, timeout=30)
     assert exc.value.code == 400
+
+
+def test_metrics_endpoint(running_server):
+    """/metrics: Prometheus text format, counters consistent with traffic,
+    synthesize-latency histogram cumulative and totaled."""
+    url, worker = running_server
+    # ensure at least one completed request has been observed
+    with _post(url, {"text": "hello dame"}) as resp:
+        resp.read()
+    with urllib.request.urlopen(url + "/metrics", timeout=30) as resp:
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        text = resp.read().decode()
+
+    lines = dict(
+        line.split(" ", 1) for line in text.splitlines()
+        if line and not line.startswith("#") and "{" not in line
+    )
+    assert float(lines["vits_requests_total"]) == worker.stats["requests"]
+    assert float(lines["vits_batches_total"]) == worker.stats["batches"]
+    assert float(lines["vits_audio_seconds_total"]) > 0
+    assert "vits_queue_depth" in lines
+    # engine stats surface as gauges
+    assert "vits_engine_dispatches" in lines
+    assert float(lines["vits_engine_dispatches"]) >= 1
+
+    # histogram: buckets cumulative, +Inf bucket == _count >= 1
+    buckets = []
+    for line in text.splitlines():
+        if line.startswith('vits_synthesize_latency_seconds_bucket'):
+            buckets.append(float(line.rsplit(" ", 1)[1]))
+    assert buckets == sorted(buckets), buckets
+    count = float(lines["vits_synthesize_latency_seconds_count"])
+    assert buckets[-1] == count and count >= 1
+    assert float(lines["vits_synthesize_latency_seconds_sum"]) > 0

@@ -19,6 +19,10 @@ Endpoints:
                        params ?target_speaker=N&source_speaker=M&seed=S&
                        noise_scale=F -> audio/wav voice conversion
     GET  /healthz      -> {"status": "ok", ...}
+    GET  /metrics      -> Prometheus text exposition: request/batch/reject
+                       counters, queue depth, engine dispatch stats, and
+                       latency histograms (synthesize end-to-end, stream
+                       time-to-first-audio)
 
 Per-request seeds fold into per-row PRNG keys, so mixed-seed traffic shares
 one dispatch; the queue is bounded (429 on overflow).
@@ -62,6 +66,49 @@ class _Request:
         return (self.noise_scale, self.noise_scale_duration, self.speaking_rate)
 
 
+_LATENCY_BUCKETS = (0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)
+
+
+class _Histogram:
+    """Fixed-bucket latency histogram, rendered cumulatively on /metrics.
+
+    stdlib-only stand-in for a Prometheus client histogram: observe() is a
+    lock + one list write, render() emits the standard ``_bucket{le=...}`` /
+    ``_sum`` / ``_count`` series.
+    """
+
+    def __init__(self, buckets=_LATENCY_BUCKETS):
+        self.buckets = buckets
+        self.counts = [0] * (len(buckets) + 1)  # last = +Inf overflow
+        self.sum = 0.0
+        self.lock = threading.Lock()
+
+    def observe(self, value: float) -> None:
+        with self.lock:
+            self.sum += value
+            for i, b in enumerate(self.buckets):
+                if value <= b:
+                    self.counts[i] += 1
+                    break
+            else:
+                self.counts[-1] += 1
+
+    def render(self, name: str) -> list[str]:
+        with self.lock:
+            counts = list(self.counts)
+            total_sum = self.sum
+        lines = [f"# TYPE {name} histogram"]
+        cum = 0
+        for b, c in zip(self.buckets, counts):
+            cum += c
+            lines.append(f'{name}_bucket{{le="{b}"}} {cum}')
+        cum += counts[-1]
+        lines.append(f'{name}_bucket{{le="+Inf"}} {cum}')
+        lines.append(f"{name}_sum {total_sum:.6f}")
+        lines.append(f"{name}_count {cum}")
+        return lines
+
+
 class BatchingWorker:
     """Collects requests into padded batches and runs one dispatch per batch."""
 
@@ -78,6 +125,10 @@ class BatchingWorker:
         self.queue: "queue.Queue[_Request]" = queue.Queue(maxsize=max_queue)
         self.stats = {"requests": 0, "batches": 0, "rejected": 0,
                       "streams": 0, "conversions": 0, "audio_seconds": 0.0}
+        # /metrics latency histograms: /synthesize end-to-end wall time and
+        # /stream time-to-first-audio (the metric the endpoint exists for).
+        self.synth_latency = _Histogram()
+        self.stream_ttfa = _Histogram()
         # Guards stats read-modify-writes: the worker thread AND every
         # /stream handler thread update these counters.
         self.stats_lock = threading.Lock()
@@ -174,6 +225,52 @@ class BatchingWorker:
                     req.done.set()
 
 
+def render_metrics(worker: BatchingWorker, model) -> str:
+    """Prometheus text exposition (version 0.0.4) of server + engine stats.
+
+    The reference's observability is printf behind a verbose flag
+    (/root/reference/src/vits.cpp:1234-1239); a served TPU engine needs a
+    scrape surface instead.  Counters come from the batching worker, gauges
+    from the live queue and the engine's structured stats
+    (Synthesizer.stats), histograms from the per-request observations.
+    """
+    with worker.stats_lock:
+        s = dict(worker.stats)
+    lines = []
+
+    def counter(name, value, help_text):
+        lines.append(f"# HELP {name} {help_text}")
+        lines.append(f"# TYPE {name} counter")
+        lines.append(f"{name} {value}")
+
+    counter("vits_requests_total", s["requests"],
+            "Synthesis requests completed via the batching worker")
+    counter("vits_batches_total", s["batches"],
+            "Device dispatches issued by the batching worker")
+    counter("vits_rejected_total", s["rejected"],
+            "Requests rejected with 429 (queue or stream slots full)")
+    counter("vits_streams_total", s["streams"],
+            "Completed /stream responses")
+    counter("vits_conversions_total", s["conversions"],
+            "Completed /convert responses")
+    counter("vits_audio_seconds_total", round(s["audio_seconds"], 6),
+            "Seconds of audio produced across all endpoints")
+
+    lines.append("# HELP vits_queue_depth Requests waiting in the batch queue")
+    lines.append("# TYPE vits_queue_depth gauge")
+    lines.append(f"vits_queue_depth {worker.queue.qsize()}")
+
+    for key, value in sorted(getattr(model, "stats", {}).items()):
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            continue
+        lines.append(f"# TYPE vits_engine_{key} gauge")
+        lines.append(f"vits_engine_{key} {round(float(value), 6)}")
+
+    lines.extend(worker.synth_latency.render("vits_synthesize_latency_seconds"))
+    lines.extend(worker.stream_ttfa.render("vits_stream_ttfa_seconds"))
+    return "\n".join(lines) + "\n"
+
+
 def make_handler(worker: BatchingWorker, model, request_timeout_s: float = 120.0,
                  streamer=None, max_streams: int = 4):
     # /stream admission control: each stream occupies a handler thread and
@@ -204,6 +301,14 @@ def make_handler(worker: BatchingWorker, model, request_timeout_s: float = 120.0
                     if k.startswith("aot_")  # AOT bundle hit/miss (io/aot.py)
                 }
                 self._json(200, {"status": "ok", **worker.stats, **engine_stats})
+            elif self.path == "/metrics":
+                body = render_metrics(worker, model).encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": "not found"})
 
@@ -267,6 +372,7 @@ def make_handler(worker: BatchingWorker, model, request_timeout_s: float = 120.0
                 finally:
                     stream_slots.release()
                 return
+            t_submit = time.perf_counter()
             if not worker.submit(req):
                 self._json(429, {"error": "queue full, retry later"})
                 return
@@ -277,6 +383,7 @@ def make_handler(worker: BatchingWorker, model, request_timeout_s: float = 120.0
             if req.audio is None:
                 self._json(504, {"error": "synthesis timed out"})
                 return
+            worker.synth_latency.observe(time.perf_counter() - t_submit)
             buf = io.BytesIO()
             write_wav(buf, req.audio, model.config.sampling_rate)
             data = buf.getvalue()
@@ -361,6 +468,8 @@ def make_handler(worker: BatchingWorker, model, request_timeout_s: float = 120.0
                 self.wfile.flush()
 
             try:
+                t_start = time.perf_counter()
+                first_chunk_at = None
                 chunk(streaming_wav_header(model.config.sampling_rate))
                 for pcm in streamer.stream(
                     req.text, seed=req.seed, speaker_id=req.speaker_id,
@@ -371,6 +480,9 @@ def make_handler(worker: BatchingWorker, model, request_timeout_s: float = 120.0
                     data = pcm16(pcm).tobytes()
                     if data:
                         chunk(data)
+                        if first_chunk_at is None:
+                            first_chunk_at = time.perf_counter()
+                            worker.stream_ttfa.observe(first_chunk_at - t_start)
                         with worker.stats_lock:
                             worker.stats["audio_seconds"] += (
                                 len(pcm) / model.config.sampling_rate)
@@ -425,6 +537,10 @@ def main(argv=None) -> int:
     ap.add_argument("--request-timeout-s", type=float, default=120.0)
     ap.add_argument("--max-streams", type=int, default=4,
                     help="concurrent /stream connections (429 beyond)")
+    ap.add_argument("--stream-mux", type=int, default=0, metavar="B",
+                    help="multiplex concurrent /stream clients into batched "
+                         "window dispatches of up to B rows "
+                         "(engine/mux.py; 0 = solo dispatch per stream)")
     ap.add_argument("--dp", type=int, default=0, metavar="N",
                     help="serve data-parallel over N chips (0 = single chip): "
                          "each batch dispatch shards one row per chip")
@@ -468,9 +584,14 @@ def main(argv=None) -> int:
     # Warm the streaming programs too: without this the FIRST /stream client
     # pays every prior/window cold compile (20-40 s each on TPU) while
     # holding one of the max_streams slots.
-    from vits_tpu.engine.streaming import StreamingDecoder
+    if args.stream_mux > 1:
+        from vits_tpu.engine.mux import MultiplexedStreamingDecoder
 
-    streamer = StreamingDecoder(model)
+        streamer = MultiplexedStreamingDecoder(model, max_batch=args.stream_mux)
+    else:
+        from vits_tpu.engine.streaming import StreamingDecoder
+
+        streamer = StreamingDecoder(model)
     streamer.warmup(token_buckets=model.engine.token_buckets[:2])
     server, worker = serve(
         model, args.port, args.host, args.batch_window_ms, args.max_batch,

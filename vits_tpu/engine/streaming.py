@@ -171,6 +171,39 @@ class StreamingDecoder:
         if wave is not None:
             np.asarray(wave)  # block until the last compile lands
 
+    # --- window-dispatch seam (overridden by MultiplexedStreamingDecoder) -- #
+    @staticmethod
+    def _prefetch(arr) -> None:
+        try:
+            arr.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
+
+    def _dispatch_window(self, prior_latents, frame_mask3, speaker_embeddings,
+                         lo: int, window: int):
+        """Dispatch one fixed-size window decode; returns an opaque handle."""
+        wave = self._decode_fn(window)(
+            self._params,
+            prior_latents[:, lo : lo + window],
+            frame_mask3[:, lo : lo + window],
+            speaker_embeddings,
+        )
+        self._prefetch(wave)
+        return wave
+
+    def _dispatch_full(self, prior_latents, frame_mask3, speaker_embeddings,
+                       num_frames: int):
+        """Whole-utterance decode for inputs that fit in one window."""
+        wave = self._decode_fn(num_frames)(
+            self._params, prior_latents, frame_mask3, speaker_embeddings
+        )
+        self._prefetch(wave)
+        return wave
+
+    def _resolve(self, handle) -> np.ndarray:
+        """Handle -> (1, T) float PCM; blocks until the decode lands."""
+        return np.asarray(handle)
+
     # ------------------------------------------------------------------ #
     def stream(
         self, text: str, seed: int = 0, speaker_id: int | None = None,
@@ -195,16 +228,10 @@ class StreamingDecoder:
         chunk, margin = self.chunk_frames, self.total_margin
         window = chunk + 2 * margin
 
-        def prefetch(arr):
-            try:
-                arr.copy_to_host_async()
-            except (AttributeError, NotImplementedError):
-                pass
-
         prior = self._prior_fn(num_frames)(
             self._params, jnp.asarray(ids), jnp.asarray(mask), rng, spk, controls
         )
-        prefetch(prior.total_duration)
+        self._prefetch(prior.total_duration)
 
         # Speculative first-window decode: the common case is no capacity
         # overflow, so dispatch chunk 0 BEFORE blocking on total_duration —
@@ -212,13 +239,10 @@ class StreamingDecoder:
         # window's compute instead of preceding it (TTFA - one tunnel RTT).
         spec_wave = None
         if num_frames > window:
-            spec_wave = self._decode_fn(window)(
-                self._params,
-                prior.prior_latents[:, :window],
-                prior.frame_mask[..., None][:, :window],
-                prior.speaker_embeddings,
+            spec_wave = self._dispatch_window(
+                prior.prior_latents, prior.frame_mask[..., None],
+                prior.speaker_embeddings, 0, window,
             )
-            prefetch(spec_wave)
 
         # Escalate capacity (doubling ladder, like Synthesizer.synthesize_raw)
         # if the predicted length overflowed the frame bucket.
@@ -238,30 +262,24 @@ class StreamingDecoder:
 
         if num_frames <= window:
             # Utterance fits in one window: plain one-shot decode.
-            wave = self._decode_fn(num_frames)(
-                self._params, prior_latents, frame_mask3, prior.speaker_embeddings
+            handle = self._dispatch_full(
+                prior_latents, frame_mask3, prior.speaker_embeddings, num_frames
             )
-            prefetch(wave)
-            yield np.asarray(wave)[0, : valid_frames * up]
+            yield self._resolve(handle)[0, : valid_frames * up]
             return
-
-        decode = self._decode_fn(window)
 
         def submit(start):
             lo = min(max(start - margin, 0), num_frames - window)
             if start == 0 and spec_wave is not None:
-                wave = spec_wave  # lo == 0 for the first chunk
+                handle = spec_wave  # lo == 0 for the first chunk
             else:
-                wave = decode(
-                    self._params,
-                    prior_latents[:, lo : lo + window],
-                    frame_mask3[:, lo : lo + window],
-                    prior.speaker_embeddings,
+                handle = self._dispatch_window(
+                    prior_latents, frame_mask3, prior.speaker_embeddings,
+                    lo, window,
                 )
-                prefetch(wave)
             offset = (start - lo) * up
             n_valid = min(chunk, valid_frames - start) * up
-            return wave, offset, n_valid
+            return handle, offset, n_valid
 
         from collections import deque
 
@@ -270,11 +288,11 @@ class StreamingDecoder:
         for start in starts:
             inflight.append(submit(start))
             if len(inflight) >= self.pipeline_depth:
-                wave, offset, n_valid = inflight.popleft()
-                yield np.asarray(wave)[0, offset : offset + n_valid]
+                handle, offset, n_valid = inflight.popleft()
+                yield self._resolve(handle)[0, offset : offset + n_valid]
         while inflight:
-            wave, offset, n_valid = inflight.popleft()
-            yield np.asarray(wave)[0, offset : offset + n_valid]
+            handle, offset, n_valid = inflight.popleft()
+            yield self._resolve(handle)[0, offset : offset + n_valid]
 
     def synthesize_streaming(
         self, text: str, seed: int = 0, speaker_id: int | None = None, **controls
