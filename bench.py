@@ -64,17 +64,23 @@ def _probe_backend(timeout_s: int) -> None:
 
 def main() -> int:
     init_timeout = int(os.environ.get("VITS_BENCH_INIT_TIMEOUT", "600"))
+    platform_note = None
     try:
         _probe_backend(init_timeout)
     except Exception as e:
-        print(json.dumps({
-            "metric": "xRT_single_utterance", "value": 0.0,
-            "unit": "audio_sec/wall_sec/chip", "vs_baseline": 0.0,
-            "error": f"jax backend init probe failed: {type(e).__name__}: {e}",
-        }))
-        return 1
+        # Dead tunnel: fall back to the host CPU so the round still records a
+        # real (honestly-labeled) measurement instead of a bare error line.
+        # The number is NOT comparable to TPU rounds — `platform` says so.
+        platform_note = f"cpu_fallback (tpu init probe failed: {type(e).__name__})"
+        os.environ.setdefault("VITS_BENCH_ITERS", "6")
 
     import jax
+
+    if platform_note is not None:
+        # The axon sitecustomize force-sets jax_platforms="axon,cpu" via
+        # jax.config.update (which overrides the JAX_PLATFORMS env var);
+        # override it back the same way — see tests/conftest.py.
+        jax.config.update("jax_platforms", "cpu")
 
     from vits_tpu.config import EngineConfig, VitsConfig
     from vits_tpu.engine.synthesizer import Synthesizer
@@ -194,6 +200,8 @@ def main() -> int:
     if dp > 1:
         result["metric"] = "xRT_aggregate"
         result["dp"] = dp
+    if platform_note is not None:
+        result["platform"] = platform_note
     print(json.dumps(result))
     return 0
 
