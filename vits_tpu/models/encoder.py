@@ -133,6 +133,44 @@ def _feed_forward(p: ParamView, x: jax.Array, padding_mask: jax.Array, config: V
     return h * padding_mask
 
 
+def encoder_layer(
+    layer: ParamView,
+    hidden: jax.Array,  # (B, T, H)
+    attn_bias: jax.Array | None,
+    padding_mask: jax.Array,  # (B, T, 1)
+    config: VitsConfig,
+    use_pallas: bool = False,
+    lengths: jax.Array | None = None,
+    pallas_precision: str | None = None,
+    trainable: bool = False,
+) -> jax.Array:
+    """One transformer layer: rel-pos attention + conv-FFN, post-layernorms.
+
+    Factored out of the :func:`text_encoder` loop so the pipeline-parallel
+    path (parallel/pipeline.py) applies byte-identical per-layer math from
+    stage-stacked parameters.
+    """
+    residual = hidden
+    attn_out = _attention(layer.sub("attention"), hidden, attn_bias, config,
+                          use_pallas=use_pallas, lengths=lengths,
+                          pallas_precision=pallas_precision,
+                          trainable=trainable)
+    hidden = layer_norm(
+        residual + attn_out,
+        layer["layer_norm.weight"],
+        layer["layer_norm.bias"],
+        config.layer_norm_eps,
+    )
+    residual = hidden
+    ffn_out = _feed_forward(layer.sub("feed_forward"), hidden, padding_mask, config)
+    return layer_norm(
+        residual + ffn_out,
+        layer["final_layer_norm.weight"],
+        layer["final_layer_norm.bias"],
+        config.layer_norm_eps,
+    )
+
+
 def text_encoder(
     params: ParamView,
     config: VitsConfig,
@@ -159,25 +197,10 @@ def text_encoder(
 
     enc = p.sub("encoder")
     for i in range(config.num_hidden_layers):
-        layer = enc.sub(f"layers.{i}")
-        residual = hidden
-        attn_out = _attention(layer.sub("attention"), hidden, attn_bias, config,
-                              use_pallas=use_pallas, lengths=lengths,
-                              pallas_precision=pallas_precision,
-                              trainable=trainable)
-        hidden = layer_norm(
-            residual + attn_out,
-            layer["layer_norm.weight"],
-            layer["layer_norm.bias"],
-            config.layer_norm_eps,
-        )
-        residual = hidden
-        ffn_out = _feed_forward(layer.sub("feed_forward"), hidden, padding_mask, config)
-        hidden = layer_norm(
-            residual + ffn_out,
-            layer["final_layer_norm.weight"],
-            layer["final_layer_norm.bias"],
-            config.layer_norm_eps,
+        hidden = encoder_layer(
+            enc.sub(f"layers.{i}"), hidden, attn_bias, padding_mask, config,
+            use_pallas=use_pallas, lengths=lengths,
+            pallas_precision=pallas_precision, trainable=trainable,
         )
 
     hidden = hidden * padding_mask

@@ -132,6 +132,7 @@ def generator_forward(
     mel_kwargs: Optional[dict] = None,
     use_pallas: bool = False,
     compute_dtype=None,
+    encoder_fn=None,
 ):
     """Forward pass with reconstruction losses.
 
@@ -184,8 +185,14 @@ def generator_forward(
     enc_mask3 = jnp.asarray(token_mask3).astype(cd) if cd is not None else token_mask3
     enc_mask = (jnp.asarray(batch.token_mask).astype(cd)
                 if cd is not None else batch.token_mask)
-    enc = text_encoder(p, config, batch.input_ids, enc_mask3, enc_mask,
-                       use_pallas=use_flash_attn, trainable=True)
+    if encoder_fn is not None:
+        # Alternate encoder implementation over the same math — used by the
+        # pipeline-parallel path (parallel/pipeline.py), whose params carry
+        # the layer stack in stage-stacked layout.
+        enc = encoder_fn(params, config, batch.input_ids, enc_mask3, enc_mask)
+    else:
+        enc = text_encoder(p, config, batch.input_ids, enc_mask3, enc_mask,
+                           use_pallas=use_flash_attn, trainable=True)
     # fp32 anchor: MAS runs cumulative max/sum recurrences over all frames —
     # bf16 log-likelihoods would drift the hard alignment itself.
     log_lik = prior_log_likelihood(
