@@ -54,12 +54,13 @@ def _encoder_inputs(config, rng, B=8, T=12):
     return ids, mask, mask[..., None]
 
 
-@pytest.mark.parametrize("stages,microbatches,remat", [
-    (4, 4, False),  # one layer per stage
-    (2, 4, False),  # two layers per stage, M > P
-    (4, 8, True),   # remat'd stage interiors
+@pytest.mark.parametrize("stages,data,microbatches,remat", [
+    (4, 1, 4, False),  # one layer per stage
+    (2, 1, 4, False),  # two layers per stage, M > P
+    (4, 1, 8, True),   # remat'd stage interiors
+    (2, 4, 2, False),  # pp x dp: microbatch rows shard across 4 chips/stage
 ])
-def test_pp_encoder_matches_plain(stages, microbatches, remat):
+def test_pp_encoder_matches_plain(stages, data, microbatches, remat):
     config = _four_layer_config()
     params = {k: jnp.asarray(v)
               for k, v in random_params(config, seed=0, keep_training=True).items()}
@@ -67,7 +68,7 @@ def test_pp_encoder_matches_plain(stages, microbatches, remat):
     ids, mask, mask3 = _encoder_inputs(config, rng)
 
     ref = text_encoder(ParamView(params), config, ids, mask3, mask)
-    mesh = make_pipe_mesh(stages)
+    mesh = make_pipe_mesh(stages, data=data)
     pp = stack_pipeline_params(params, config, num_stages=stages, mesh=mesh)
     got = pipeline_text_encoder(pp, config, ids, mask3, mask, mesh,
                                 microbatches=microbatches, remat=remat)
@@ -115,6 +116,36 @@ def test_pp_grads_match_and_stay_sharded():
     # tolerance covers fp32 reduction-order noise on O(100)-magnitude grads
     # (the loss is a whole-batch abs-sum); a schedule bug (wrong stage order,
     # dropped microbatch, mis-permuted cotangent) is an O(grad) mismatch.
+    for k in g_plain:
+        if k.startswith("text_encoder.encoder.pipeline."):
+            np.testing.assert_allclose(
+                np.asarray(g_pp[k]), np.asarray(g_plain[k]),
+                atol=1e-3, rtol=1e-3, err_msg=k)
+
+
+def test_ppdp_grads_match_plain():
+    """pp x dp: stage-param grads must psum over the 'data' axis (the
+    shard_map transpose inserts it) and equal the single-device grads."""
+    config = _four_layer_config()
+    params = {k: jnp.asarray(v)
+              for k, v in random_params(config, seed=0, keep_training=True).items()}
+    rng = np.random.default_rng(4)
+    ids, mask, mask3 = _encoder_inputs(config, rng)
+    mesh = make_pipe_mesh(2, data=4)
+    pp = stack_pipeline_params(params, config, num_stages=2, mesh=mesh)
+
+    def loss_pp(prm):
+        out = pipeline_text_encoder(prm, config, ids, mask3, mask, mesh,
+                                    microbatches=2)
+        return jnp.sum(jnp.abs(out.last_hidden_state))
+
+    def loss_plain(prm):
+        out = text_encoder(ParamView(prm), config, ids, mask3, mask)
+        return jnp.sum(jnp.abs(out.last_hidden_state))
+
+    g_pp = jax.jit(jax.grad(loss_pp))(pp)
+    g_plain = stack_pipeline_params(
+        jax.jit(jax.grad(loss_plain))(params), config, num_stages=2)
     for k in g_plain:
         if k.startswith("text_encoder.encoder.pipeline."):
             np.testing.assert_allclose(

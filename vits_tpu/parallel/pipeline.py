@@ -45,16 +45,25 @@ _LAYER_PREFIX = "text_encoder.encoder.layers."
 _STACK_PREFIX = "text_encoder.encoder.pipeline."
 
 
-def make_pipe_mesh(pipe: int, devices: Optional[list] = None) -> Mesh:
-    """A one-axis ('pipe',) mesh over the first ``pipe`` devices.
+def make_pipe_mesh(pipe: int, data: int = 1, devices: Optional[list] = None) -> Mesh:
+    """A ('pipe',) mesh — or ('pipe', 'data') when ``data > 1`` — over the
+    first ``pipe * data`` devices.
 
     Neighboring stages should be ICI neighbors; ``jax.devices()`` order is
-    torus-contiguous on real TPU slices, so a contiguous prefix is the right
-    default placement for a ring schedule.
+    torus-contiguous on real TPU slices, so a contiguous reshape is the right
+    default placement for a ring schedule.  With a 'data' axis, each stage is
+    itself ``data`` chips wide and microbatch ROWS shard across them — pp x dp
+    composition inside one shard_map (the pipeline hops stay within a
+    stage-pair's chips; the only cross-'data' traffic is gradient psums).
     """
     devices = devices if devices is not None else jax.devices()
-    if len(devices) < pipe:
-        raise ValueError(f"need {pipe} devices for {pipe} stages, have {len(devices)}")
+    need = pipe * data
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices for pipe={pipe} x data={data}, "
+                         f"have {len(devices)}")
+    if data > 1:
+        arr = np.asarray(devices[:need]).reshape(pipe, data)
+        return Mesh(arr, (PIPE_AXIS, "data"))
     return Mesh(np.asarray(devices[:pipe]), (PIPE_AXIS,))
 
 
@@ -184,11 +193,28 @@ def pipeline_text_encoder(
 
     from jax.experimental.shard_map import shard_map
 
+    # pp x dp composition: when the mesh carries extra axes beyond 'pipe'
+    # (make_pipe_mesh(pipe, data=N)), microbatch ROWS shard across them —
+    # each stage is N chips wide, the ppermute hops stay row-local, and the
+    # only cross-'data' traffic is the gradient psum shard_map's transpose
+    # inserts for the stage params (replicated over 'data').
+    extra = tuple(a for a in mesh.axis_names if a != PIPE_AXIS)
+    row_axes = tuple(a for a in extra if mesh.shape[a] > 1)
+    if row_axes:
+        rows = int(np.prod([mesh.shape[a] for a in row_axes]))
+        if mb % rows:
+            raise ValueError(
+                f"microbatch rows {mb} not divisible over {row_axes} ({rows})")
+        act_spec = P(None, row_axes)
+    else:
+        act_spec = P()
+
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=({s: P(PIPE_AXIS) for s in stacked}, P(), P(), P()),
-        out_specs=P(),
+        in_specs=({s: P(PIPE_AXIS) for s in stacked},
+                  act_spec, act_spec, act_spec),
+        out_specs=act_spec,
     )
     def run(stacked, hidden_mb, bias_mb, pad_mb):
         # Rotating GPipe schedule: at step t, stage s computes microbatch
