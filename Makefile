@@ -13,6 +13,9 @@ native:
 bench:
 	python bench.py
 
+bench-serving:
+	python scripts/bench_serving.py --tiny --cpu --duration-s 10
+
 bench-conv:
 	python scripts/bench_conv_variants.py
 

@@ -1,0 +1,243 @@
+"""Closed-loop HTTP load benchmark for the serving stack.
+
+Measures what a deployment actually sees at the network boundary — requests
+per second, latency percentiles, and achieved batching — by driving the real
+HTTP server (engine/server.py) with N concurrent closed-loop clients over
+loopback.  The reference has no serving surface to compare against
+(/root/reference is a single-process library; SURVEY.md §2b); the baseline
+here is the engine's own single-stream dispatch rate: batching should let
+aggregate RPS grow far past 1/latency while per-request latency stays within
+one batch window + dispatch of the shared program.
+
+Modes:
+  --mode synth   POST /synthesize closed loop (default): reports RPS,
+                 latency p50/p95/p99, avg rows per device dispatch (the
+                 batching engine's work), audio-seconds/sec throughput.
+  --mode stream  concurrent /stream clients: reports time-to-first-audio
+                 percentiles and total stream wall time, with or without
+                 the window multiplexer (--mux B, engine/mux.py).
+
+By default builds an MMS-TTS-eng-shaped random-weight model (same
+FLOPs/memory as the real checkpoint; pass --model for a .ggml file) —
+or --tiny for a seconds-fast smoke config on CPU.
+
+Output: one JSON object on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _percentiles(xs, ps=(50, 95, 99)):
+    import numpy as np
+
+    if not xs:
+        return {f"p{p}": None for p in ps}
+    return {f"p{p}": round(float(np.percentile(xs, p)) * 1000.0, 2) for p in ps}
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", default="", help=".ggml checkpoint (default: random MMS-shaped)")
+    ap.add_argument("--tiny", action="store_true", help="tiny config (CPU smoke)")
+    ap.add_argument("--mode", choices=("synth", "stream"), default="synth")
+    ap.add_argument("--clients", type=int, default=8)
+    ap.add_argument("--duration-s", type=float, default=20.0)
+    ap.add_argument("--batch-window-ms", type=float, default=5.0)
+    ap.add_argument("--max-batch", type=int, default=16)
+    ap.add_argument("--mux", type=int, default=0,
+                    help="stream mode: multiplex window dispatches up to B rows")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        # the axon sitecustomize overrides JAX_PLATFORMS via jax.config —
+        # undo it the same way (tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
+
+    from vits_tpu.config import EngineConfig, VitsConfig
+    from vits_tpu.engine.server import serve
+    from vits_tpu.engine.synthesizer import Synthesizer
+    from vits_tpu.io.random_init import random_params
+    from vits_tpu.text.tokenizer import VitsTokenizer
+
+    if args.model:
+        eng_cfg = EngineConfig()
+        model = Synthesizer.load(args.model, eng_cfg)
+        texts = [
+            "The quick brown fox jumps over the lazy dog near the riverbank.",
+            "Many of the old houses of the city have long since disappeared.",
+            "She carefully placed the ancient manuscript back on the shelf.",
+            "A committee was appointed to investigate the prison's condition.",
+        ]
+    else:
+        if args.tiny:
+            config = VitsConfig(
+                hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+                ffn_dim=64, flow_size=16, spectrogram_bins=65,
+                upsample_initial_channel=32, upsample_rates=(4, 4),
+                upsample_kernel_sizes=(8, 8), resblock_kernel_sizes=(3, 5),
+                resblock_dilation_sizes=((1, 3), (1, 3)),
+                prior_encoder_num_flows=2, prior_encoder_num_wavenet_layers=2,
+                posterior_encoder_num_wavenet_layers=2,
+                duration_predictor_num_flows=2, duration_predictor_flow_bins=6,
+                depth_separable_num_layers=2,
+                duration_predictor_filter_channels=32,
+            )
+            # 64-token bucket: the smoke texts tokenize to ~25-55 tokens
+            # (blank interspersal doubles char count) — a 32 bucket would
+            # trip the overflow redispatch ladder mid-measurement
+            eng_cfg = EngineConfig(token_buckets=(64,), frames_per_token=4.0,
+                                   transfer_int16=False)
+        else:
+            config = VitsConfig()  # MMS-TTS-eng architecture
+            eng_cfg = EngineConfig(token_buckets=(128, 256))
+        params = random_params(config, seed=0, keep_training=False)
+        vocab = {c: i for i, c in enumerate("kzyuvdheswm' ablcfgijnopqrtx")}
+        tok = VitsTokenizer(vocab=vocab, pad_token="k", unk_token="z")
+        model = Synthesizer(config, tok, params, eng_cfg)
+        texts = ["hello sad dame", "see my dames be well", "less is more said he",
+                 "a quiet morning walk helps"]
+
+    streamer = None
+    if args.mode == "stream":
+        if args.mux > 1:
+            from vits_tpu.engine.mux import MultiplexedStreamingDecoder
+
+            streamer = MultiplexedStreamingDecoder(model, max_batch=args.mux)
+        else:
+            from vits_tpu.engine.streaming import StreamingDecoder
+
+            streamer = StreamingDecoder(model)
+        streamer.warmup(token_buckets=model.engine.token_buckets[:1])
+    else:
+        # every power-of-two batch bucket the worker can form, so no client
+        # pays a cold compile mid-measurement
+        sizes, b = [], 1
+        while b < args.max_batch:
+            sizes.append(b)
+            b *= 2
+        sizes.append(args.max_batch)
+        # per_row_seeds: the batching worker always dispatches per-row key
+        # lists (mixed-seed traffic shares a program) — a different program
+        # signature from the scalar-seed path
+        model.warmup(batch_sizes=tuple(sizes), per_row_seeds=True)
+
+    server, worker = serve(
+        model, port=0, host="127.0.0.1",
+        batch_window_ms=args.batch_window_ms, max_batch=args.max_batch,
+        streaming=args.mode == "stream", streamer=streamer,
+        max_streams=max(args.clients, 4),
+    )
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{port}"
+
+    stop_at = time.perf_counter() + args.duration_s
+    lock = threading.Lock()
+    latencies: list[float] = []
+    ttfas: list[float] = []
+    totals: list[float] = []
+    errors = [0]
+
+    def synth_client(cid: int) -> None:
+        i = 0
+        while time.perf_counter() < stop_at:
+            body = json.dumps({"text": texts[(cid + i) % len(texts)],
+                               "seed": cid * 1000 + i}).encode()
+            req = urllib.request.Request(
+                url + "/synthesize", data=body,
+                headers={"Content-Type": "application/json"})
+            t0 = time.perf_counter()
+            try:
+                with urllib.request.urlopen(req, timeout=120) as resp:
+                    resp.read()
+            except Exception:
+                with lock:
+                    errors[0] += 1
+                continue
+            with lock:
+                latencies.append(time.perf_counter() - t0)
+            i += 1
+
+    def stream_client(cid: int) -> None:
+        i = 0
+        while time.perf_counter() < stop_at:
+            body = json.dumps({"text": texts[(cid + i) % len(texts)],
+                               "seed": cid * 1000 + i}).encode()
+            req = urllib.request.Request(
+                url + "/stream", data=body,
+                headers={"Content-Type": "application/json"})
+            t0 = time.perf_counter()
+            first = None
+            try:
+                with urllib.request.urlopen(req, timeout=300) as resp:
+                    while True:
+                        chunk = resp.read(4096)
+                        if first is None:
+                            first = time.perf_counter() - t0
+                        if not chunk:
+                            break
+            except Exception:
+                with lock:
+                    errors[0] += 1
+                continue
+            with lock:
+                if first is not None:
+                    ttfas.append(first)
+                totals.append(time.perf_counter() - t0)
+            i += 1
+
+    target = synth_client if args.mode == "synth" else stream_client
+    threads = [threading.Thread(target=target, args=(c,)) for c in range(args.clients)]
+    t_start = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t_start
+
+    out = {
+        "mode": args.mode,
+        "clients": args.clients,
+        "duration_s": round(wall, 2),
+        "errors": errors[0],
+        "platform": jax.devices()[0].platform,
+    }
+    if args.mode == "synth":
+        n = len(latencies)
+        out.update({
+            "requests": n,
+            "rps": round(n / wall, 2),
+            "latency_ms": _percentiles(latencies),
+            "avg_rows_per_dispatch": round(
+                worker.stats["requests"] / max(worker.stats["batches"], 1), 2),
+            "audio_seconds_per_s": round(worker.stats["audio_seconds"] / wall, 2),
+        })
+    else:
+        out.update({
+            "streams": len(totals),
+            "ttfa_ms": _percentiles(ttfas),
+            "stream_total_ms": _percentiles(totals),
+            "mux": args.mux,
+        })
+        if args.mux > 1:
+            out["mux_stats"] = dict(streamer.stats)
+    server.shutdown()
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -215,19 +215,36 @@ def test_compilation_cache_persists_programs(tiny_bundle, tmp_path):
     """EngineConfig.compilation_cache_dir writes compiled bucket programs to
     disk (the serving cold-start story: a restarted process reloads them
     instead of recompiling).  In-process we can observe the cache files and
-    that a second engine built against the same dir still synthesizes."""
-    config, params = tiny_bundle
-    tok = VitsTokenizer(vocab=dict(VOCAB), pad_token="k", unk_token="z")
-    cache = tmp_path / "xla-cache"
-    eng = EngineConfig(token_buckets=(32,), frames_per_token=4.0,
-                       compilation_cache_dir=str(cache))
-    model = Synthesizer(config, tok, params, eng)
-    w1 = model.synthesize("hello sad dame", seed=0)
-    entries = list(cache.rglob("*"))
-    assert any(p.is_file() for p in entries), entries
-    model2 = Synthesizer(config, tok, params, eng)
-    w2 = model2.synthesize("hello sad dame", seed=0)
-    np.testing.assert_array_equal(w1, w2)
+    that a second engine built against the same dir still synthesizes.
+
+    The engine sets the cache via PROCESS-GLOBAL jax.config (correct for a
+    serving process, documented on EngineConfig) — restore it afterwards, or
+    every later test in this process writes cache entries into this test's
+    tmp_path; a full-suite run crashed with SIGABRT inside
+    compilation_cache.put_executable_and_time ~100 tests later with the
+    leaked setting (round-3 continuation)."""
+    import jax
+
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_secs = jax.config.jax_persistent_cache_min_compile_time_secs
+    prev_bytes = jax.config.jax_persistent_cache_min_entry_size_bytes
+    try:
+        config, params = tiny_bundle
+        tok = VitsTokenizer(vocab=dict(VOCAB), pad_token="k", unk_token="z")
+        cache = tmp_path / "xla-cache"
+        eng = EngineConfig(token_buckets=(32,), frames_per_token=4.0,
+                           compilation_cache_dir=str(cache))
+        model = Synthesizer(config, tok, params, eng)
+        w1 = model.synthesize("hello sad dame", seed=0)
+        entries = list(cache.rglob("*"))
+        assert any(p.is_file() for p in entries), entries
+        model2 = Synthesizer(config, tok, params, eng)
+        w2 = model2.synthesize("hello sad dame", seed=0)
+        np.testing.assert_array_equal(w1, w2)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_secs)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", prev_bytes)
 
 
 def test_pallas_engine_path_runs_on_cpu():
