@@ -253,6 +253,33 @@ def test_trainable_attention_grads_compiled():
         np.testing.assert_allclose(g, wt, atol=5e-3, rtol=1e-4)
 
 
+def test_aot_bundle_compiled(tmp_path):
+    """jax.export round-trip ON the chip with the Mosaic kernels active:
+    export the Pallas-vocoder dispatch program, reload it, and serve
+    bit-identical to the live-jit engine.  The CPU suite covers export
+    semantics and TPU *cross-lowering* (test_aot.py); actually executing a
+    deserialized Mosaic program needs real hardware."""
+    import vits_tpu
+    from vits_tpu.config import EngineConfig
+    from vits_tpu.io.aot import export_bundle
+
+    kw = dict(token_buckets=(64,), frames_per_token=4.0,
+              use_pallas_vocoder=True, transfer_int16=False)
+    ref = vits_tpu.load_model(
+        "tests/fixtures/tiny-vits.ggml", EngineConfig(**kw))
+    out = str(tmp_path / "bundle")
+    export_bundle(ref, out, batch_sizes=(1,), per_row_seeds=(False,),
+                  with_speaker=False)
+    aot = vits_tpu.load_model(
+        "tests/fixtures/tiny-vits.ggml",
+        EngineConfig(**kw, aot_bundle_dir=out))
+    wa = ref.synthesize("hello exported kernels", seed=11)
+    wb = aot.synthesize("hello exported kernels", seed=11)
+    np.testing.assert_array_equal(wa, wb)
+    assert aot.stats["aot_hits"] >= 1
+    assert aot.stats["redispatches"] == 0
+
+
 def test_engine_voice_conversion_compiled():
     """Voice conversion program on chip (posterior + fwd flow + Pallas
     vocoder in ONE jit): synthesize, convert same-speaker, compare mel.
