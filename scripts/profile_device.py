@@ -15,17 +15,15 @@ Usage: python scripts/profile_device.py [--tokens 512] [--frames 1024]
 """
 
 import argparse
-import glob
-import gzip
 import json
-import re
 import sys
 import tempfile
-from collections import defaultdict
 
 sys.path.insert(0, ".")
 
 import numpy as np
+
+from vits_tpu.utils.devprofile import parse_trace
 
 
 def capture(tokens, frames, use_pallas, use_attention, batch=1,
@@ -68,33 +66,6 @@ def capture(tokens, frames, use_pallas, use_attention, batch=1,
     return tmp, config
 
 
-def parse(tmp):
-    path = sorted(glob.glob(f"{tmp}/plugins/profile/*/*.trace.json.gz"))[-1]
-    with gzip.open(path) as f:
-        t = json.load(f)
-    tids = {}
-    for e in t["traceEvents"]:
-        if e.get("ph") == "M" and e.get("name") == "thread_name" and e.get("pid") == 3:
-            tids[e["tid"]] = e["args"].get("name")
-    mod_tid = next((k for k, v in tids.items() if v == "XLA Modules"), None)
-    ops_tid = next((k for k, v in tids.items() if v == "XLA Ops"), None)
-    module_ms = 0.0
-    cat = defaultdict(float)
-    pallas = []
-    for e in t["traceEvents"]:
-        if e.get("ph") != "X" or e.get("pid") != 3:
-            continue
-        if e["tid"] == mod_tid:
-            module_ms += e["dur"] / 1e3
-        elif e["tid"] == ops_tid:
-            name = e["name"]
-            key = re.sub(r"[.\d]+$", "", name)
-            cat[key] += e["dur"] / 1e3
-            if "_lambda_" in name or "pallas" in name.lower():
-                pallas.append((name, e["dur"] / 1e3))
-    return module_ms, dict(cat), pallas
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tokens", type=int, default=512)
@@ -115,7 +86,7 @@ def main():
                           not args.no_pallas, not args.no_attention,
                           batch=args.batch, value_dtype=args.value_dtype,
                           weight_format=args.weight_format)
-    module_ms, cat, pallas = parse(tmp)
+    module_ms, cat, pallas = parse_trace(tmp)
 
     audio_s = args.batch * args.frames * config.total_upsample / config.sampling_rate
     print(f"device time (one dispatch): {module_ms:.3f} ms  "

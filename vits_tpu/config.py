@@ -196,6 +196,18 @@ class EngineConfig:
     # sit at ~1.5-5, so anything beyond this is pathological input (e.g. a
     # noise_scale_duration bomb), not a rate regime worth compiling for.
     adaptive_capacity_max: float = 10.0
+    # Per-request ceiling: ONE overflow observation may raise the working
+    # ratio by at most this many frames/token (on top of the 2x-per-overflow
+    # multiplicative clamp).  Repeated observations — a real traffic pattern,
+    # not one slow-speech utterance — still converge on the true rate.
+    adaptive_capacity_request_max: float = 2.0
+    # Decay the raised ratio back when traffic stops needing it: once a full
+    # window of default-control dispatches has been observed since the last
+    # raise, the ratio falls to what the window's WORST request actually
+    # needed (never below frames_per_token) — a one-off overflow stops being
+    # a permanent FLOP/transfer tax on a long-lived serving process.
+    adaptive_capacity_decay: bool = True
+    adaptive_capacity_window: int = 32
     # Computation dtype for the heavy conv stacks ("float32" or "bfloat16").
     compute_dtype: str = "float32"
     # Max batch size compiled into the batched path.

@@ -158,8 +158,14 @@ class Synthesizer:
         self._dispatch_shapes: set = set()
         # Working frames/token ratio; starts at the config value and is bumped
         # by collect() when an overflow reveals the checkpoint's real rate
-        # (EngineConfig.adaptive_capacity).
+        # (EngineConfig.adaptive_capacity).  Observed per-dispatch rates feed
+        # a sliding window so a raised ratio can DECAY once traffic stops
+        # needing it (EngineConfig.adaptive_capacity_decay).
         self._frames_per_token = float(self.engine.frames_per_token)
+        from collections import deque
+
+        self._rate_window: deque = deque(
+            maxlen=max(1, self.engine.adaptive_capacity_window))
         self.stats = {
             "dispatches": 0,
             "redispatches": 0,
@@ -494,25 +500,17 @@ class Synthesizer:
         """Frame capacity for a token bucket at the adaptively-raised ratio."""
         return self.engine.frame_bucket(token_bucket, ratio=self._frames_per_token)
 
-    def _observe_overflow(self, pending: PendingSynthesis, frame_lengths) -> None:
-        """Raise the working frames/token ratio to cover an observed overflow.
+    def _observed_rate(self, pending: PendingSynthesis, frame_lengths):
+        """Per-dispatch frames/token rate, or None for non-default controls.
 
         The observed rate is per-row predicted frames over per-row VALID
-        tokens (mask sum) — the rate a full bucket of such text would need —
-        rounded up to ``adaptive_capacity_step`` so compiled shapes stay few.
-
-        Guards against poisoning the engine-global ratio: a request that
-        overrides ``speaking_rate`` or ``noise_scale_duration`` perturbs its
-        own durations and says nothing about the checkpoint's intrinsic
-        frames/token (it pays the redispatch ladder instead); one
-        pathological utterance can raise the ratio by at most 2x per
-        overflow (repeated observations — i.e. a real traffic pattern —
-        still converge on the true rate); and the ratio never exceeds
-        ``adaptive_capacity_max`` (real checkpoints sit at ~1.5-5
-        frames/token — beyond the cap is attack traffic, not a rate regime).
+        tokens (mask sum) — the rate a full bucket of such text would need.
+        A request that overrides ``speaking_rate`` or ``noise_scale_duration``
+        perturbs its own durations and says nothing about the checkpoint's
+        intrinsic frames/token: it is excluded from BOTH adaptation
+        directions (it pays the redispatch ladder itself on overflow, and it
+        must not vote a raised ratio back down either).
         """
-        if not self.engine.adaptive_capacity:
-            return
         # Compare at float32: controls are traced f32 scalars while config
         # values are python floats (float32(0.9) != 0.9 at 1e-9 — an exact
         # compare would silently disable adaptation for such checkpoints).
@@ -520,23 +518,75 @@ class Synthesizer:
         observed = (pending.controls[1], pending.controls[2])
         for obs, dflt in zip(observed, defaults):
             if abs(float(obs) - float(np.float32(dflt))) > 1e-6:
-                return
+                return None
         tokens = np.maximum(np.asarray(pending.mask, np.float32).sum(axis=1), 1.0)
         rate = float(np.max(np.asarray(frame_lengths, np.float32) / tokens))
+        self._rate_window.append(rate)
+        return rate
+
+    def _observe_overflow(self, rate: float) -> None:
+        """Raise the working frames/token ratio to cover an observed overflow.
+
+        The rate is rounded up to ``adaptive_capacity_step`` so compiled
+        shapes stay few.  Clamps against poisoning the engine-global ratio:
+        one pathological utterance can raise it by at most 2x AND at most
+        ``adaptive_capacity_request_max`` frames/token per overflow (repeated
+        observations — i.e. a real traffic pattern — still converge on the
+        true rate); and the ratio never exceeds ``adaptive_capacity_max``
+        (real checkpoints sit at ~1.5-5 frames/token — beyond the cap is
+        attack traffic, not a rate regime).
+        """
+        if not self.engine.adaptive_capacity or rate is None:
+            return
         step = max(self.engine.adaptive_capacity_step, 1e-3)
         bumped = float(np.ceil(rate / step) * step)
-        bumped = min(bumped, self._frames_per_token * 2.0,
-                     float(self.engine.adaptive_capacity_max))
+        bumped = min(
+            bumped,
+            self._frames_per_token * 2.0,
+            self._frames_per_token + float(self.engine.adaptive_capacity_request_max),
+            float(self.engine.adaptive_capacity_max),
+        )
         if bumped > self._frames_per_token:
             self._frames_per_token = bumped
+            # Decay needs a FULL window of post-raise evidence before it may
+            # undo this raise.
+            self._rate_window.clear()
+
+    def _maybe_decay(self) -> None:
+        """Fall back toward the config ratio when traffic stops needing it.
+
+        Runs once a full window of default-control dispatches has been
+        observed since the last raise; the ratio drops to what the window's
+        worst request actually needed (rounded up to the step), floored at
+        the config value — and at the AOT bundle's ratio when serving from a
+        bundle, whose exported frame capacities the engine must keep hitting.
+        """
+        eng = self.engine
+        if not (eng.adaptive_capacity and eng.adaptive_capacity_decay):
+            return
+        floor = float(eng.frames_per_token)
+        if self._aot is not None:
+            floor = max(floor, float(self._aot.frames_per_token))
+        if self._frames_per_token <= floor:
+            return
+        if len(self._rate_window) < self._rate_window.maxlen:
+            return
+        step = max(eng.adaptive_capacity_step, 1e-3)
+        target = max(floor, float(np.ceil(max(self._rate_window) / step) * step))
+        if target < self._frames_per_token:
+            self._frames_per_token = target
+            self._rate_window.clear()  # fresh evidence before the next move
 
     def collect(self, pending: PendingSynthesis, max_redispatch: int = 3) -> EngineOutput:
         """Block on a submission's single device->host fetch (+ overflow ladder)."""
         out = self._fetch(pending.device_out)
         predicted = int(out.frame_lengths.max())
         num_frames = pending.num_frames
-        if predicted > num_frames:
-            self._observe_overflow(pending, out.frame_lengths)
+        rate = self._observed_rate(pending, out.frame_lengths)
+        if predicted <= num_frames:
+            self._maybe_decay()
+        else:
+            self._observe_overflow(rate)
             for attempt in range(max_redispatch):
                 while num_frames < predicted:
                     num_frames *= 2
