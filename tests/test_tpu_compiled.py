@@ -127,7 +127,9 @@ def test_engine_bf16_values_compiled():
     atol=0.05).  Assert statistically, like the pinned-precision test: tiny
     mean error, bounded worst sample, <1% of samples past the bf16 noise
     floor — a Mosaic layout regression corrupts globally and fails all
-    three."""
+    three.  Bounds sit just above the measured worst case (max 0.057) so
+    a ~2x localized precision regression fails rather than coasting under
+    a loose ceiling (round-3 advisor finding)."""
     ref = _fixture_model(use_pallas_vocoder=True,
                          pallas_value_dtype="float32",
                          transfer_int16=False)
@@ -139,9 +141,9 @@ def test_engine_bf16_values_compiled():
     assert wa.shape == wb.shape
     assert np.isfinite(wb).all()
     diff = np.abs(wa - wb)
-    assert float(diff.mean()) < 5e-3, diff.mean()
-    assert float(diff.max()) < 0.15, diff.max()
-    assert float((diff > 0.05).mean()) < 0.01, (diff > 0.05).mean()
+    assert float(diff.mean()) < 2e-3, diff.mean()
+    assert float(diff.max()) < 0.10, diff.max()
+    assert float((diff > 0.05).mean()) < 0.005, (diff > 0.05).mean()
 
 
 def test_engine_int8_pallas_compiled():
