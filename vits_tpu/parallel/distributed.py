@@ -18,11 +18,19 @@ def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    heartbeat_timeout_seconds: Optional[int] = None,
 ) -> None:
     """jax.distributed.initialize with TPU-pod auto-detection defaults.
 
     On Cloud TPU pods all arguments are discovered from the metadata server;
     pass them explicitly for other clusters.
+
+    ``heartbeat_timeout_seconds`` tunes JAX's built-in failure detector (the
+    coordination service fatally terminates every task ~100 s after one stops
+    heartbeating).  Deployments that want the training-level watchdog
+    (train/watchdog.py) to decide first — it also catches a process that is
+    alive but making no training progress, which the coordination service
+    cannot see — should set this above the watchdog's ``stall_seconds``.
     """
     kwargs = {}
     if coordinator_address is not None:
@@ -31,6 +39,8 @@ def initialize(
         kwargs["num_processes"] = num_processes
     if process_id is not None:
         kwargs["process_id"] = process_id
+    if heartbeat_timeout_seconds is not None:
+        kwargs["heartbeat_timeout_seconds"] = heartbeat_timeout_seconds
     jax.distributed.initialize(**kwargs)
 
 
