@@ -16,6 +16,14 @@ Modes:
   --mode stream  concurrent /stream clients: reports time-to-first-audio
                  percentiles and total stream wall time, with or without
                  the window multiplexer (--mux B, engine/mux.py).
+  --mode mixed   N /synthesize + M /stream clients (--stream-clients)
+                 hammering ONE server concurrently — the shape a real
+                 deployment sees.  Reports both latency families plus the
+                 server's own /metrics counters (queue depth, 429s).
+
+Every mode ends with a /metrics scrape so the committed artifact carries
+the server's own accounting (rejects, dispatches, queue depth) next to the
+client-side percentiles.
 
 By default builds an MMS-TTS-eng-shaped random-weight model (same
 FLOPs/memory as the real checkpoint; pass --model for a .ggml file) —
@@ -37,6 +45,24 @@ import urllib.request
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _scrape_metrics(url: str) -> dict:
+    """Parse the flat counter/gauge lines of the server's /metrics page."""
+    with urllib.request.urlopen(url + "/metrics", timeout=30) as resp:
+        text = resp.read().decode()
+    out = {}
+    for line in text.splitlines():
+        if line.startswith("#") or not line.strip():
+            continue
+        name, _, value = line.rpartition(" ")
+        if "{" in name:  # histogram buckets — the raw obs are reported already
+            continue
+        try:
+            out[name.strip()] = float(value)
+        except ValueError:
+            pass
+    return out
+
+
 def _percentiles(xs, ps=(50, 95, 99)):
     import numpy as np
 
@@ -49,8 +75,11 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--model", default="", help=".ggml checkpoint (default: random MMS-shaped)")
     ap.add_argument("--tiny", action="store_true", help="tiny config (CPU smoke)")
-    ap.add_argument("--mode", choices=("synth", "stream"), default="synth")
+    ap.add_argument("--mode", choices=("synth", "stream", "mixed"), default="synth")
     ap.add_argument("--clients", type=int, default=8)
+    ap.add_argument("--stream-clients", type=int, default=2,
+                    help="mixed mode: /stream clients alongside --clients "
+                         "/synthesize clients")
     ap.add_argument("--duration-s", type=float, default=20.0)
     ap.add_argument("--batch-window-ms", type=float, default=5.0)
     ap.add_argument("--max-batch", type=int, default=16)
@@ -111,7 +140,7 @@ def main(argv=None) -> int:
                  "a quiet morning walk helps"]
 
     streamer = None
-    if args.mode == "stream":
+    if args.mode in ("stream", "mixed"):
         if args.mux > 1:
             from vits_tpu.engine.mux import MultiplexedStreamingDecoder
 
@@ -121,7 +150,7 @@ def main(argv=None) -> int:
 
             streamer = StreamingDecoder(model)
         streamer.warmup(token_buckets=model.engine.token_buckets[:1])
-    else:
+    if args.mode in ("synth", "mixed"):
         # every power-of-two batch bucket the worker can form, so no client
         # pays a cold compile mid-measurement
         sizes, b = [], 1
@@ -131,14 +160,20 @@ def main(argv=None) -> int:
         sizes.append(args.max_batch)
         # per_row_seeds: the batching worker always dispatches per-row key
         # lists (mixed-seed traffic shares a program) — a different program
-        # signature from the scalar-seed path
-        model.warmup(batch_sizes=tuple(sizes), per_row_seeds=True)
+        # signature from the scalar-seed path.  overflow_ladder=1 also
+        # pre-compiles the first redispatch rung so an utterance whose
+        # predicted length overflows the working capacity doesn't charge an
+        # XLA compile to the measured latencies.
+        model.warmup(batch_sizes=tuple(sizes), per_row_seeds=True,
+                     overflow_ladder=1)
 
+    n_stream = (args.stream_clients if args.mode == "mixed"
+                else args.clients if args.mode == "stream" else 0)
     server, worker = serve(
         model, port=0, host="127.0.0.1",
         batch_window_ms=args.batch_window_ms, max_batch=args.max_batch,
-        streaming=args.mode == "stream", streamer=streamer,
-        max_streams=max(args.clients, 4),
+        streaming=streamer is not None, streamer=streamer,
+        max_streams=max(n_stream, 4),
     )
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
@@ -199,8 +234,13 @@ def main(argv=None) -> int:
                 totals.append(time.perf_counter() - t0)
             i += 1
 
-    target = synth_client if args.mode == "synth" else stream_client
-    threads = [threading.Thread(target=target, args=(c,)) for c in range(args.clients)]
+    threads = []
+    if args.mode in ("synth", "mixed"):
+        threads += [threading.Thread(target=synth_client, args=(c,))
+                    for c in range(args.clients)]
+    if args.mode in ("stream", "mixed"):
+        threads += [threading.Thread(target=stream_client, args=(c,))
+                    for c in range(n_stream)]
     t_start = time.perf_counter()
     for t in threads:
         t.start()
@@ -215,7 +255,7 @@ def main(argv=None) -> int:
         "errors": errors[0],
         "platform": jax.devices()[0].platform,
     }
-    if args.mode == "synth":
+    if args.mode in ("synth", "mixed"):
         n = len(latencies)
         out.update({
             "requests": n,
@@ -225,8 +265,9 @@ def main(argv=None) -> int:
                 worker.stats["requests"] / max(worker.stats["batches"], 1), 2),
             "audio_seconds_per_s": round(worker.stats["audio_seconds"] / wall, 2),
         })
-    else:
+    if args.mode in ("stream", "mixed"):
         out.update({
+            "stream_clients": n_stream,
             "streams": len(totals),
             "ttfa_ms": _percentiles(ttfas),
             "stream_total_ms": _percentiles(totals),
@@ -234,6 +275,13 @@ def main(argv=None) -> int:
         })
         if args.mux > 1:
             out["mux_stats"] = dict(streamer.stats)
+    metrics = _scrape_metrics(url)
+    out["server_metrics"] = {
+        k: metrics[k] for k in (
+            "vits_requests_total", "vits_batches_total", "vits_rejected_total",
+            "vits_streams_total", "vits_queue_depth", "vits_audio_seconds_total",
+        ) if k in metrics
+    }
     server.shutdown()
     print(json.dumps(out))
     return 0

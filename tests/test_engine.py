@@ -68,6 +68,23 @@ def test_overflow_redispatch(tiny_bundle):
     assert capacity >= predicted  # escalation reached a fitting bucket
 
 
+def test_warmup_overflow_ladder_precompiles_redispatch(tiny_bundle):
+    """warmup(overflow_ladder=N) pre-compiles the redispatch rungs, so an
+    overflowing request escalates into an ALREADY-compiled program — no XLA
+    compile (20-40 s on TPU) charged to a live request."""
+    config, params = tiny_bundle
+    tok = VitsTokenizer(vocab=dict(VOCAB), pad_token="k", unk_token="z")
+    eng = EngineConfig(token_buckets=(32,), frames_per_token=2.0,
+                       adaptive_capacity=False)
+    model = Synthesizer(config, tok, params, eng)
+    model.warmup(batch_sizes=(1,), overflow_ladder=2)
+    shapes = model.stats["compiled_shapes"]
+    assert shapes == 3  # base capacity + two doubled rungs
+    model.synthesize_raw("hello sad dame", seed=0)
+    assert model.stats["redispatches"] > 0  # this fixture overflows 2.0 f/t...
+    assert model.stats["compiled_shapes"] == shapes  # ...into warmed programs
+
+
 def test_warmup_compiles_without_error(engine_model):
     """warmup() drives _dispatch directly; regression: it crashed on the raw
     output tuple after the single-device_get refactor (broke server startup)."""

@@ -547,6 +547,10 @@ def main(argv=None) -> int:
     ap.add_argument("--compilation-cache", default=None, metavar="DIR",
                     help="persistent XLA compilation cache: restarts reuse "
                          "compiled bucket programs instead of recompiling")
+    ap.add_argument("--warm-overflow", type=int, default=0, metavar="N",
+                    help="pre-compile N rungs of the overflow-redispatch "
+                         "ladder at startup so no request ever pays an XLA "
+                         "compile (each rung doubles frame capacity)")
     ap.add_argument("--aot-bundle", default=None, metavar="DIR",
                     help="AOT program bundle (scripts/export_aot.py): serve "
                          "pre-exported programs without tracing the model")
@@ -580,7 +584,7 @@ def main(argv=None) -> int:
     # layout is a different program signature from scalar-seed warmup —
     # without it the first real request pays a cold compile.
     model.warmup(batch_sizes=(1,), token_buckets=model.engine.token_buckets[:2],
-                 per_row_seeds=True)
+                 per_row_seeds=True, overflow_ladder=args.warm_overflow)
     # Warm the streaming programs too: without this the FIRST /stream client
     # pays every prior/window cold compile (20-40 s each on TPU) while
     # holding one of the max_streams slots.

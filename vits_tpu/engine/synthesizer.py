@@ -786,12 +786,20 @@ class Synthesizer:
         return results[0] if single else results
 
     # ------------------------------------------------------------------ #
-    def warmup(self, batch_sizes=(1,), token_buckets=None, per_row_seeds=False):
+    def warmup(self, batch_sizes=(1,), token_buckets=None, per_row_seeds=False,
+               overflow_ladder: int = 0):
         """Pre-compile the common dispatch shapes.
 
         ``per_row_seeds`` compiles the (B, 2) per-row key layout used when
         ``seed`` is passed as a LIST (the server always does) — a different
         program signature from the scalar-seed (2,) key layout.
+
+        ``overflow_ladder=N`` additionally compiles the first N rungs of the
+        overflow-redispatch ladder (capacity doubled N times, matching
+        ``collect``'s escalation) for every (batch, bucket) pair — so the
+        first utterance whose predicted length overflows the working
+        capacity redispatches into an already-compiled program instead of
+        paying a synchronous XLA compile (~20-40 s on TPU) at request time.
         """
         buckets = token_buckets or self.engine.token_buckets
         for bs in batch_sizes:
@@ -811,7 +819,9 @@ class Synthesizer:
                     )(zeros, zeros)
                 else:
                     rng = jax.random.PRNGKey(0)
-                out = self._dispatch(
-                    ids, mask, self._frame_capacity(tb), rng, None
-                )
-                jax.block_until_ready(out)
+                capacity = self._frame_capacity(tb)
+                for rung in range(overflow_ladder + 1):
+                    out = self._dispatch(
+                        ids, mask, capacity * (2 ** rung), rng, None
+                    )
+                    jax.block_until_ready(out)
