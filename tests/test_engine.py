@@ -239,8 +239,14 @@ def test_compilation_cache_persists_programs(tiny_bundle, tmp_path):
     every later test in this process writes cache entries into this test's
     tmp_path; a full-suite run crashed with SIGABRT inside
     compilation_cache.put_executable_and_time ~100 tests later with the
-    leaked setting (round-3 continuation)."""
+    leaked setting (round-3 continuation).  Restoring the config flags is
+    NOT enough: jax caches the initialized cache OBJECT module-globally and
+    `_get_cache` keeps returning it after the dir is set back to None, so
+    later compiles still attempt cache writes — serializing a shard_map CPU
+    executable for such a write SIGSEGVed test_sp a full-suite run later
+    (round-4).  reset_cache() clears the object."""
     import jax
+    from jax.experimental.compilation_cache import compilation_cache as cc
 
     prev_dir = jax.config.jax_compilation_cache_dir
     prev_secs = jax.config.jax_persistent_cache_min_compile_time_secs
@@ -262,6 +268,7 @@ def test_compilation_cache_persists_programs(tiny_bundle, tmp_path):
         jax.config.update("jax_compilation_cache_dir", prev_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_secs)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", prev_bytes)
+        cc.reset_cache()  # drop the module-global cache OBJECT too
 
 
 def test_pallas_engine_path_runs_on_cpu():
