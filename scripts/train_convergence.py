@@ -51,6 +51,85 @@ def small_config():
     )
 
 
+def run_eval(out_dir, run_dir, corpus, config, tokenizer) -> dict:
+    """Eval the latest checkpoint two ways, separating the two error sources.
+
+    * ``free_running``: text -> full synthesis (SDP durations, deterministic
+      noise) vs the corpus target.  Conflates DURATION mismatch (free-running
+      timing drifts from the target's) with acoustic quality — on a 2k-step
+      run the duration term dominates (round-3 verdict weak #6).
+    * ``reconstruction``: target audio -> posterior encode -> coupling flow
+      forward -> reverse -> vocoder (``convert_voice`` with no speakers, the
+      original-VITS voice-conversion path at noise_scale=0).  Frames align
+      1:1 with the target, so NO duration error can enter: this is the
+      acoustic chain's quality alone, the duration-teacher-forced figure the
+      free-running number can't provide.
+    """
+    from vits_tpu.config import EngineConfig
+    from vits_tpu.engine.synthesizer import Synthesizer
+    from vits_tpu.train.checkpoint import latest_step
+    from vits_tpu.train.data import VitsDataset
+    from vits_tpu.utils.mel import log_mel_spectrogram
+    from vits_tpu.utils.wav import write_wav
+
+    def mel_l1(a, b):
+        n = min(len(a), len(b))
+        if n < 2048:
+            return None
+        m1 = np.asarray(log_mel_spectrogram(np.asarray(a[None, :n]),
+                                            sample_rate=config.sampling_rate))
+        m2 = np.asarray(log_mel_spectrogram(np.asarray(b[None, :n]),
+                                            sample_rate=config.sampling_rate))
+        return float(np.abs(m1 - m2).mean())
+
+    step = latest_step(run_dir)
+    ckpt_dir = os.path.join(run_dir, f"step_{step:08d}")
+    free_running, reconstruction = {}, {}
+    dataset = VitsDataset(corpus, tokenizer, config)
+    for name, fname in (("raw", "gen_params.npz"), ("ema", "gen_params_ema.npz")):
+        path = os.path.join(ckpt_dir, fname)
+        if not os.path.exists(path):
+            continue
+        with np.load(path) as data:
+            gp = {k: data[k] for k in data.files}
+        model = Synthesizer(config, tokenizer, gp,
+                            EngineConfig(token_buckets=(64,), use_pallas_vocoder=False))
+        frees, recons = [], []
+        for i, utt in enumerate(dataset.utterances[:8]):
+            item = dataset.load(utt)
+            if item is None:
+                continue
+            _, _, target = item
+            wave = model.synthesize(utt.text, seed=0,
+                                    noise_scale=0.0, noise_scale_duration=0.0)
+            v = mel_l1(wave, target)
+            if v is not None:
+                frees.append(v)
+            recon = model.convert_voice(np.asarray(target, np.float32))
+            v = mel_l1(recon, target)
+            if v is not None:
+                recons.append(v)
+            if i == 0:
+                write_wav(os.path.join(out_dir, f"sample_{name}.wav"),
+                          np.asarray(wave), config.sampling_rate)
+        free_running[name] = float(np.mean(frees)) if frees else None
+        reconstruction[name] = float(np.mean(recons)) if recons else None
+        del model
+    results = {
+        "mel_l1_vs_target": free_running,
+        "mel_l1_reconstruction": reconstruction,
+        "note": ("free-running = text->synthesis vs target (duration mismatch "
+                 "+ acoustic error); reconstruction = audio->posterior->flow->"
+                 "vocoder vs target (frames aligned 1:1 — acoustic error "
+                 "only, the duration-teacher-forced figure)"),
+        "final_step": step,
+    }
+    with open(os.path.join(out_dir, "eval.json"), "w") as fh:
+        json.dump(results, fh, indent=2)
+    print("eval:", results, flush=True)
+    return results
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--steps", type=int, default=1500)
@@ -63,6 +142,12 @@ def main() -> int:
     ap.add_argument("--out", default="docs/convergence")
     ap.add_argument("--corpus", default="", help="reuse an existing corpus dir")
     ap.add_argument("--segment-frames", type=int, default=32)
+    ap.add_argument("--eval-only", action="store_true",
+                    help="skip training; (re-)evaluate the run dir in --out")
+    ap.add_argument("--export-ggml", default="",
+                    help="also export the final raw generator weights as a "
+                         ".ggml checkpoint (trained-statistics fidelity "
+                         "measurement, scripts/bench_value_dtype.py --ggml)")
     args = ap.parse_args()
 
     from vits_tpu.io.loader import export_to_ggml
@@ -81,6 +166,24 @@ def main() -> int:
     vocab = corpus_vocab()
     assert config.vocab_size >= len(vocab)
     tokenizer = VitsTokenizer(vocab=vocab, pad_token="_", unk_token="?")
+    run_dir = os.path.join(args.out, "run")
+
+    def export_trained(path):
+        from vits_tpu.train.checkpoint import latest_step
+
+        step = latest_step(run_dir)
+        npz = os.path.join(run_dir, f"step_{step:08d}", "gen_params.npz")
+        with np.load(npz) as data:
+            gp = {k: data[k] for k in data.files}
+        export_to_ggml(path, config, tokenizer, gp, fp16_convs=False)
+        print(f"exported step-{step} generator -> {path}", flush=True)
+
+    if args.eval_only:
+        run_eval(args.out, run_dir, corpus, config, tokenizer)
+        if args.export_ggml:
+            export_trained(args.export_ggml)
+        return 0
+
     params = random_params(config, seed=0, keep_training=True)
     ckpt = os.path.join(tempfile.gettempdir(), "vits_convergence_init.ggml")
     export_to_ggml(ckpt, config, tokenizer, params, fp16_convs=False)
@@ -92,7 +195,6 @@ def main() -> int:
         with open(os.path.join(args.out, "loss_curve.json"), "w") as fh:
             json.dump(history, fh, indent=1)
 
-    run_dir = os.path.join(args.out, "run")
     train(
         corpus, ckpt, run_dir,
         steps=args.steps, batch_size=args.batch_size, learning_rate=args.lr,
@@ -103,50 +205,9 @@ def main() -> int:
         adversarial=True, metrics_hook=hook,
     )
 
-    # ---- eval: mel-L1 of raw vs EMA weights on held-in utterances --------- #
-    from vits_tpu.config import EngineConfig
-    from vits_tpu.engine.synthesizer import Synthesizer
-    from vits_tpu.train.checkpoint import latest_step
-    from vits_tpu.train.data import VitsDataset
-    from vits_tpu.utils.mel import log_mel_spectrogram
-    from vits_tpu.utils.wav import write_wav
-
-    step = latest_step(run_dir)
-    ckpt_dir = os.path.join(run_dir, f"step_{step:08d}")
-    results = {}
-    dataset = VitsDataset(corpus, tokenizer, config)
-    for name, fname in (("raw", "gen_params.npz"), ("ema", "gen_params_ema.npz")):
-        path = os.path.join(ckpt_dir, fname)
-        if not os.path.exists(path):
-            continue
-        with np.load(path) as data:
-            gp = {k: data[k] for k in data.files}
-        model = Synthesizer(config, tokenizer, gp,
-                            EngineConfig(token_buckets=(64,), use_pallas_vocoder=False))
-        mels = []
-        for i, utt in enumerate(dataset.utterances[:8]):
-            item = dataset.load(utt)
-            if item is None:
-                continue
-            _, _, target = item
-            wave = model.synthesize(utt.text, seed=0,
-                                    noise_scale=0.0, noise_scale_duration=0.0)
-            n = min(len(wave), len(target))
-            if n < 2048:
-                continue
-            m1 = np.asarray(log_mel_spectrogram(np.asarray(wave[None, :n]),
-                                                sample_rate=config.sampling_rate))
-            m2 = np.asarray(log_mel_spectrogram(np.asarray(target[None, :n]),
-                                                sample_rate=config.sampling_rate))
-            mels.append(float(np.abs(m1 - m2).mean()))
-            if i == 0:
-                write_wav(os.path.join(args.out, f"sample_{name}.wav"),
-                          np.asarray(wave), config.sampling_rate)
-        results[name] = float(np.mean(mels)) if mels else None
-        del model
-    with open(os.path.join(args.out, "eval.json"), "w") as fh:
-        json.dump({"mel_l1_vs_target": results, "final_step": step}, fh, indent=2)
-    print("eval:", results, flush=True)
+    run_eval(args.out, run_dir, corpus, config, tokenizer)
+    if args.export_ggml:
+        export_trained(args.export_ggml)
 
     # ---- plot ------------------------------------------------------------- #
     try:

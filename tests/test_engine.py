@@ -68,6 +68,49 @@ def test_overflow_redispatch(tiny_bundle):
     assert capacity >= predicted  # escalation reached a fitting bucket
 
 
+def test_matmul_precision_knob_cpu_noop(tiny_bundle):
+    """EngineConfig.matmul_precision traces under jax.default_matmul_precision.
+    On CPU every tier is fp32, so the knob must be output-identical to the
+    default — this pins the plumbing (no crash, no behavior change where none
+    is expected); the TPU behavior test lives in test_tpu_compiled.py."""
+    config, params = tiny_bundle
+    tok = VitsTokenizer(vocab=dict(VOCAB), pad_token="k", unk_token="z")
+    base = Synthesizer(config, tok, params,
+                       EngineConfig(token_buckets=(32,), frames_per_token=4.0))
+    knob = Synthesizer(config, tok, params,
+                       EngineConfig(token_buckets=(32,), frames_per_token=4.0,
+                                    matmul_precision="highest"))
+    np.testing.assert_array_equal(
+        base.synthesize("hello sad dame", seed=5),
+        knob.synthesize("hello sad dame", seed=5))
+
+
+def test_fidelity_tiers(tiny_bundle):
+    """EngineConfig.fidelity_kwargs maps user tiers to the precision knobs;
+    every tier constructs a working engine (CPU: all tiers are fp32, so the
+    fast/exact outputs coincide — TPU separation is covered by the
+    BENCH_DETAIL value_dtype_fidelity_trained table)."""
+    kw = EngineConfig.fidelity_kwargs("exact")
+    assert kw["pallas_precision"] == "highest"
+    assert kw["matmul_precision"] == "highest"
+    assert kw["pallas_value_dtype"] == "float32"
+    assert EngineConfig.fidelity_kwargs("fast") == {}
+    assert EngineConfig.fidelity_kwargs("glue32") == {
+        "matmul_precision": "highest"}
+    with pytest.raises(ValueError):
+        EngineConfig.fidelity_kwargs("ultra")
+    config, params = tiny_bundle
+    tok = VitsTokenizer(vocab=dict(VOCAB), pad_token="k", unk_token="z")
+    waves = {}
+    for tier in ("fast", "exact"):
+        model = Synthesizer(
+            config, tok, params,
+            EngineConfig(token_buckets=(32,), frames_per_token=4.0,
+                         **EngineConfig.fidelity_kwargs(tier)))
+        waves[tier] = model.synthesize("hello sad dame", seed=5)
+    np.testing.assert_array_equal(waves["fast"], waves["exact"])
+
+
 def test_warmup_overflow_ladder_precompiles_redispatch(tiny_bundle):
     """warmup(overflow_ladder=N) pre-compiles the redispatch rungs, so an
     overflowing request escalates into an ALREADY-compiled program — no XLA

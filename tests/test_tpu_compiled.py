@@ -308,3 +308,20 @@ def test_engine_voice_conversion_compiled():
     np.testing.assert_array_equal(conv, again)  # deterministic default
     l1 = float(mel_l1(conv[None, :], wave[None, : len(conv)]))
     assert l1 < 2.0, l1  # random-weight fixture: loose spectral bound
+
+
+def test_engine_matmul_precision_glue_takes_effect():
+    """EngineConfig.matmul_precision stamps the NON-kernel glue (encoder,
+    duration, flow) at trace time: on TPU the default is bf16 multiplies, so
+    a "highest" engine must produce a measurably different waveform from a
+    default engine with identical seed/params — and both stay finite.  The
+    fidelity ordering (glue32 closer to the fp32 oracle) is measured in
+    BENCH_DETAIL value_dtype_fidelity* glue32 rows."""
+    base = _fixture_model(use_pallas_vocoder=True, transfer_int16=False)
+    glue32 = _fixture_model(use_pallas_vocoder=True, transfer_int16=False,
+                            matmul_precision="highest")
+    wa = base.synthesize("hello glue precision", seed=4)
+    wb = glue32.synthesize("hello glue precision", seed=4)
+    assert np.isfinite(wa).all() and np.isfinite(wb).all()
+    assert wa.shape == wb.shape
+    assert not np.array_equal(wa, wb)  # the knob reached the program

@@ -34,6 +34,14 @@ def main(argv=None) -> int:
     parser.add_argument("--speaking-rate", type=float, default=None,
                         help=">1 = faster speech, <1 = slower")
     parser.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    parser.add_argument("--fidelity", choices=["fast", "glue32", "exact"],
+                        default="fast",
+                        help="precision tier (EngineConfig.fidelity_kwargs): "
+                             "fast = bf16 multiplies/values (default); "
+                             "glue32 = fp32-exact encoder/duration/flow "
+                             "(pins frame alignment to fp32 semantics); "
+                             "exact = fp32-exact end-to-end (mel-L1 1.4e-5 "
+                             "vs the fp32 oracle on trained weights)")
     parser.add_argument("--bench", type=int, default=0, metavar="N",
                         help="after synthesis, time N repeat runs (bench_e2e.cpp behavior)")
     parser.add_argument("--stream", action="store_true",
@@ -58,7 +66,8 @@ def main(argv=None) -> int:
 
     model = vits_tpu.load_model(args.model, EngineConfig(
         compute_dtype=args.dtype,
-        compilation_cache_dir=args.compilation_cache))
+        compilation_cache_dir=args.compilation_cache,
+        **EngineConfig.fidelity_kwargs(args.fidelity)))
     controls = dict(
         noise_scale=args.noise_scale,
         noise_scale_duration=args.noise_scale_duration,

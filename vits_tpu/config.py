@@ -253,6 +253,15 @@ class EngineConfig:
     # Transfer waveforms device->host as int16 PCM (the final WAV format;
     # halves transfer bytes, quantization error 1/32767 ~ 3e-5).
     transfer_int16: bool = True
+    # XLA matmul/conv precision for the NON-kernel ("glue") parts of the
+    # dispatch — encoder, duration predictor, flow — via
+    # jax.default_matmul_precision at trace time.  None = backend default
+    # (bf16 multiplies on TPU).  "highest" runs those modules fp32-exact;
+    # they are a small fraction of dispatch FLOPs (the vocoder dominates),
+    # so this buys glue exactness cheaply while the fused vocoder kernels
+    # keep their own pallas_precision/value-dtype policy.  Fidelity table:
+    # BENCH_DETAIL value_dtype_fidelity* (glue32 rows).
+    matmul_precision: str | None = None
     # Persistent XLA compilation-cache directory: compiled bucket programs
     # survive process restarts, so a serving process skips the 20-40 s/program
     # cold compile on its second and later launches.  None = disabled.
@@ -264,6 +273,40 @@ class EngineConfig:
     # artifact.  Exported signatures dispatch trace-free; others fall back
     # to normal jit (stats["aot_misses"]).  None = disabled.
     aot_bundle_dir: str | None = None
+
+    @staticmethod
+    def fidelity_kwargs(tier: str) -> dict:
+        """EngineConfig kwargs for a user-level fidelity tier.
+
+        Measured on 2000-step trained weights (BENCH_DETAIL.json
+        ``value_dtype_fidelity_trained``; mel-L1 vs the fp32-multiply XLA
+        oracle at the bench shape):
+
+        * ``"fast"`` — the defaults: single-pass bf16 multiplies with fp32
+          accumulation everywhere (the same multiply class as XLA's own TPU
+          default), bf16 kernel values.  mel-L1 0.038 alignment-pinned
+          (~0.33 dB mean log-mel deviation).
+        * ``"glue32"`` — encoder/duration/flow matmuls fp32-exact, vocoder
+          kernels stay on the fast path.  Pins duration rounding (and hence
+          frame alignment) to fp32 semantics: use when outputs must line up
+          frame-for-frame with a CPU/fp32 deployment.  Same 0.038 vocoder
+          error; device lane 6.2 -> 7.2 ms/dispatch (+15%).
+        * ``"exact"`` — glue32 plus 6-pass fp32-exact vocoder kernels and
+          fp32 values/weights: mel-L1 1.4e-5 (< the 1e-3 BASELINE target) at
+          32.1 ms/dispatch — 5.2x the fast path, still ~510x on-chip xRT.
+        """
+        tiers = {
+            "fast": {},
+            "glue32": {"matmul_precision": "highest"},
+            "exact": {"matmul_precision": "highest",
+                      "pallas_precision": "highest",
+                      "pallas_value_dtype": "float32",
+                      "pallas_weight_format": "float32"},
+        }
+        if tier not in tiers:
+            raise ValueError(
+                f"unknown fidelity tier {tier!r}; pick from {sorted(tiers)}")
+        return dict(tiers[tier])
 
     def frame_bucket(self, token_bucket: int, ratio: float | None = None) -> int:
         """Frame capacity for a token bucket; ``ratio`` overrides the static

@@ -554,6 +554,11 @@ def main(argv=None) -> int:
     ap.add_argument("--aot-bundle", default=None, metavar="DIR",
                     help="AOT program bundle (scripts/export_aot.py): serve "
                          "pre-exported programs without tracing the model")
+    ap.add_argument("--fidelity", choices=["fast", "glue32", "exact"],
+                    default="fast",
+                    help="precision tier (EngineConfig.fidelity_kwargs): "
+                         "fast = bf16 multiplies/values; glue32 = fp32-exact "
+                         "glue modules; exact = fp32-exact end-to-end")
     args = ap.parse_args(argv)
 
     import vits_tpu
@@ -578,7 +583,8 @@ def main(argv=None) -> int:
     buckets.append(args.max_batch)
     eng = EngineConfig(compilation_cache_dir=args.compilation_cache,
                        aot_bundle_dir=args.aot_bundle,
-                       batch_buckets=tuple(dict.fromkeys(buckets)))
+                       batch_buckets=tuple(dict.fromkeys(buckets)),
+                       **EngineConfig.fidelity_kwargs(args.fidelity))
     model = vits_tpu.load_model(args.model, eng, mesh=mesh)
     # per_row_seeds: the worker always passes seed LISTS, whose (B, 2) key
     # layout is a different program signature from scalar-seed warmup —

@@ -92,18 +92,21 @@ class StreamingDecoder:
             if use_pallas_attention is None:
                 use_pallas_attention = jax.default_backend() == "tpu"
 
+            from vits_tpu.engine.synthesizer import _matmul_precision_ctx
+
             @jax.jit
             def run(params, ids, mask, rng, speaker_id, controls):
                 noise_scale, noise_scale_duration, speaking_rate = controls
-                return text_to_prior(
-                    params, config, ids, mask, num_frames,
-                    rng=rng, speaker_id=speaker_id,
-                    noise_scale=noise_scale,
-                    noise_scale_duration=noise_scale_duration,
-                    speaking_rate=speaking_rate,
-                    use_pallas_attention=use_pallas_attention,
-                    pallas_precision=engine.pallas_precision,
-                )
+                with _matmul_precision_ctx(engine.matmul_precision):
+                    return text_to_prior(
+                        params, config, ids, mask, num_frames,
+                        rng=rng, speaker_id=speaker_id,
+                        noise_scale=noise_scale,
+                        noise_scale_duration=noise_scale_duration,
+                        speaking_rate=speaking_rate,
+                        use_pallas_attention=use_pallas_attention,
+                        pallas_precision=engine.pallas_precision,
+                    )
 
             self._prior_fn_cache[num_frames] = run
         return self._prior_fn_cache[num_frames]
@@ -120,19 +123,22 @@ class StreamingDecoder:
             config = self.synth.config
             use_pallas = self._use_pallas()
 
+            from vits_tpu.engine.synthesizer import _matmul_precision_ctx
+
             @jax.jit
             def run(params, prior_piece, mask3, speaker_embeddings):
-                latents = latents_from_prior(
-                    params, config, prior_piece, mask3, speaker_embeddings,
-                    use_pallas=self.synth.engine.use_pallas_flow,
-                    pallas_precision=self.synth.engine.pallas_precision,
-                )
-                return hifigan(
-                    ParamView(params), config, latents, mask3,
-                    speaker_embeddings, use_pallas=use_pallas,
-                    pallas_precision=self.synth.engine.pallas_precision,
-                    pallas_value_dtype=self.synth._pallas_value_dtype,
-                )
+                with _matmul_precision_ctx(self.synth.engine.matmul_precision):
+                    latents = latents_from_prior(
+                        params, config, prior_piece, mask3, speaker_embeddings,
+                        use_pallas=self.synth.engine.use_pallas_flow,
+                        pallas_precision=self.synth.engine.pallas_precision,
+                    )
+                    return hifigan(
+                        ParamView(params), config, latents, mask3,
+                        speaker_embeddings, use_pallas=use_pallas,
+                        pallas_precision=self.synth.engine.pallas_precision,
+                        pallas_value_dtype=self.synth._pallas_value_dtype,
+                    )
 
             self._decode_fn_cache[window] = run
         return self._decode_fn_cache[window]

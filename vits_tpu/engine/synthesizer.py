@@ -30,6 +30,19 @@ from vits_tpu.models.vits import synthesize as synthesize_fn
 from vits_tpu.text.tokenizer import VitsTokenizer
 
 
+def _matmul_precision_ctx(precision: Optional[str]):
+    """jax.default_matmul_precision(...) at trace time, or a no-op.
+
+    Applied around the traced model body so EngineConfig.matmul_precision
+    stamps the glue (non-Pallas) matmuls/convs without touching process
+    globals."""
+    if precision is None:
+        import contextlib
+
+        return contextlib.nullcontext()
+    return jax.default_matmul_precision(precision)
+
+
 class EngineOutput(NamedTuple):
     """Host-side synthesis result (numpy arrays, fetched in one transfer)."""
 
@@ -229,17 +242,18 @@ class Synthesizer:
             # traced float32 scalars: per-call overrides never recompile
             # (the reference can only honor config values, vits.cpp:977-979).
             noise_scale, noise_scale_duration, speaking_rate = controls
-            out = synthesize_fn(
-                params, config, input_ids, input_mask, num_frames,
-                rng=rng, speaker_id=speaker_id, use_pallas=use_pallas,
-                pallas_precision=self.engine.pallas_precision,
-                use_pallas_flow=self.engine.use_pallas_flow,
-                use_pallas_attention=use_pallas_attention,
-                pallas_value_dtype=self._pallas_value_dtype,
-                noise_scale=noise_scale,
-                noise_scale_duration=noise_scale_duration,
-                speaking_rate=speaking_rate,
-            )
+            with _matmul_precision_ctx(self.engine.matmul_precision):
+                out = synthesize_fn(
+                    params, config, input_ids, input_mask, num_frames,
+                    rng=rng, speaker_id=speaker_id, use_pallas=use_pallas,
+                    pallas_precision=self.engine.pallas_precision,
+                    use_pallas_flow=self.engine.use_pallas_flow,
+                    use_pallas_attention=use_pallas_attention,
+                    pallas_value_dtype=self._pallas_value_dtype,
+                    noise_scale=noise_scale,
+                    noise_scale_duration=noise_scale_duration,
+                    speaking_rate=speaking_rate,
+                )
             # Return only what the host needs: no latents (the streaming
             # decoder has its own latents program), and the waveform as int16
             # PCM when configured — device->host bytes are wall time.
@@ -641,14 +655,15 @@ class Synthesizer:
         transfer_int16 = self.engine.transfer_int16
 
         def body(params, spec, frame_mask, src, tgt, rng, noise_scale):
-            out = voice_convert(
-                params, config, spec, frame_mask,
-                source_speaker_id=src, target_speaker_id=tgt,
-                rng=rng, noise_scale=noise_scale,
-                use_pallas=use_pallas,
-                pallas_precision=self.engine.pallas_precision,
-                pallas_value_dtype=self._pallas_value_dtype,
-            )
+            with _matmul_precision_ctx(self.engine.matmul_precision):
+                out = voice_convert(
+                    params, config, spec, frame_mask,
+                    source_speaker_id=src, target_speaker_id=tgt,
+                    rng=rng, noise_scale=noise_scale,
+                    use_pallas=use_pallas,
+                    pallas_precision=self.engine.pallas_precision,
+                    pallas_value_dtype=self._pallas_value_dtype,
+                )
             wave = out.waveform
             if transfer_int16:
                 wave = jnp.round(

@@ -74,7 +74,9 @@ def _fused_resblock_call(p, h, mask, kernel_size, dilations, slope, precision=No
     return fused_resblock(
         h, w1, b1, w2, b2,
         kernel_size=kernel_size, dilations=tuple(dilations), slope=slope,
-        tile_t=2048, lengths=lengths, precision=precision,
+        # multi-pass precision tiers need ~2x scoped-VMEM scratch per tile
+        tile_t=2048 if precision not in ("high", "highest") else 1024,
+        lengths=lengths, precision=precision,
         value_dtype=value_dtype,
     )
 
@@ -287,6 +289,8 @@ def hifigan(
                 resblocks=_stage_resblock_dicts(p, config, i),
                 slope=slope, lengths=lengths,
                 precision=pallas_precision,
+                tile_t=(2048 if pallas_precision not in ("high", "highest")
+                        else 1024),  # multi-pass tiers: 2x VMEM scratch/tile
                 packed_in=packed_T, packed_out=chain_next,
                 arrays=arrays, final_conv=final_conv,
                 value_dtype=vd,
@@ -383,10 +387,18 @@ def hifigan(
             # is 1.58 ms (tile 8192) vs 1.83 ms (tile 2048) — fewer grid
             # steps amortize per-tile DMA/mask overhead (BENCH_DETAIL
             # kernel_mfu_ledger_r3).  Short/wide stages OOM VMEM above 2048.
+            # The multi-pass precision tiers ("high"/"highest") need more
+            # scoped-VMEM scratch per tile — tile 2048 at fp32 6-pass busted
+            # the 100 MB stack limit by 5% (round 4) — so they run at half
+            # tile (exact parity is a fidelity mode, not the fast path).
+            big_tile = pallas_precision not in ("high", "highest")
             h = fused_resblock_trio(
                 h, blocks if blocks is not None
                 else _stage_resblock_dicts(p, config, i),
-                slope=slope, tile_t=8192 if h.shape[1] >= 32768 else 2048,
+                slope=slope,
+                tile_t=((8192 if big_tile else 4096)
+                        if h.shape[1] >= 32768
+                        else (2048 if big_tile else 1024)),
                 lengths=lengths,
                 precision=pallas_precision, value_dtype=vd,
             )

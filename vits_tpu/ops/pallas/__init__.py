@@ -22,3 +22,22 @@ def resolve_interpret(interpret: bool | None) -> bool:
     import jax
 
     return jax.default_backend() not in ("tpu", "axon")
+
+
+def resolve_precision(precision):
+    """Kernel-level precision string -> a PINNED jax.lax.Precision.
+
+    ``None`` (the fast path: single-pass bf16 multiplies, fp32 accumulation)
+    must resolve to ``Precision.DEFAULT`` explicitly, NOT be left as None:
+    a dot with precision=None inherits the ambient
+    ``jax.default_matmul_precision(...)`` context, and an engine running its
+    glue at "highest" (EngineConfig.matmul_precision) would stamp fp32
+    contract precision onto the kernels' bf16 dots — which Mosaic rejects
+    (round-4: tpu.matmul vector<...xbf16> with contract_precision<fp32>).
+    The kernels' precision is their own policy, never ambient.
+    """
+    import jax
+
+    if precision is None:
+        return jax.lax.Precision.DEFAULT
+    return jax.lax.Precision(precision)

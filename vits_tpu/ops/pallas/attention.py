@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vits_tpu.ops.pallas import resolve_interpret
+from vits_tpu.ops.pallas import resolve_interpret, resolve_precision
 
 
 def _attn_kernel(len_ref, q_ref, k_ref, v_ref, rk_ref, rv_ref, out_ref,
@@ -135,7 +135,7 @@ def flash_rel_attention(
 
     kernel = functools.partial(
         _attn_kernel, TQ=TQ, TK=TK, L=Lp, d=d, w=window, neg=neg,
-        precision=None if precision is None else jax.lax.Precision(precision),
+        precision=resolve_precision(precision),
     )
     out_specs = [pl.BlockSpec((1, 1, TQ, d), lambda b, h, t: (b, h, t, 0),
                               memory_space=pltpu.VMEM)]

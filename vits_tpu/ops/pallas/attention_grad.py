@@ -42,7 +42,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vits_tpu.ops.pallas import resolve_interpret
+from vits_tpu.ops.pallas import resolve_interpret, resolve_precision
 
 from vits_tpu.ops.attention import (
     absolute_position_to_relative_position,
@@ -200,7 +200,7 @@ def _flash_bwd(q, k, v, rel_k, rel_v, out, lse, dout, *, window, lengths,
 
     kernel = functools.partial(
         _attn_bwd_kernel, TQ=TQ, TK=TK, L=Lp, d=d, w=window,
-        precision=None if precision is None else jax.lax.Precision(precision),
+        precision=resolve_precision(precision),
     )
     dq, dk, dv, drk, drv = pl.pallas_call(
         kernel,

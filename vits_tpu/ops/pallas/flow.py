@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vits_tpu.ops.pallas import resolve_interpret
+from vits_tpu.ops.pallas import resolve_interpret, resolve_precision
 
 from vits_tpu.config import VitsConfig
 from vits_tpu.io.params import ParamView
@@ -272,7 +272,7 @@ def fused_flow(
         _flow_kernel,
         T=Tp, half=half, hidden=hidden, nl=nl, k=k,
         type_a=tuple(type_a), n_flows=n, has_cond=has_cond,
-        precision=None if precision is None else jax.lax.Precision(precision),
+        precision=resolve_precision(precision),
     )
 
     def step_spec(arr):

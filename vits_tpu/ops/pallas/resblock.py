@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vits_tpu.ops.pallas import resolve_interpret
+from vits_tpu.ops.pallas import resolve_interpret, resolve_precision
 
 from vits_tpu.ops.conv import conv1d, leaky_relu
 
@@ -288,7 +288,7 @@ def fused_resblock_trio(
         _trio_kernel,
         tile_t=tile_t, blocks_meta=tuple(metas), slope=slope,
         window=window, HO=HO, inv_blocks=1.0 / len(blocks),
-        precision=None if precision is None else jax.lax.Precision(precision),
+        precision=resolve_precision(precision),
         value_dtype=vd,
     )
     w_inputs = []
@@ -663,7 +663,7 @@ def fused_resblock(
             x, w1, b1, w2, b2, kernel_size=kernel_size,
             dilations=tuple(dilations), slope=slope, tile_t=tile_t,
             lengths=lengths, interpret=interpret, g=packing,
-            precision=None if precision is None else jax.lax.Precision(precision),
+            precision=resolve_precision(precision),
             value_dtype=vd,
         )
     halo = total_halo(kernel_size, tuple(dilations))
@@ -696,7 +696,7 @@ def fused_resblock(
         slope=slope,
         window=window,
         halo=halo,
-        precision=None if precision is None else jax.lax.Precision(precision),
+        precision=resolve_precision(precision),
         value_dtype=vd,
     )
     out = pl.pallas_call(

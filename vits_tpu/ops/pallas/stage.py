@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vits_tpu.ops.pallas import resolve_interpret
+from vits_tpu.ops.pallas import resolve_interpret, resolve_precision
 
 from vits_tpu.ops.pallas.resblock import (
     _leaky,
@@ -487,7 +487,7 @@ def fused_stage(
         g_out=g_out, c_out=C_out, ho=ho, slope=slope,
         u_shifts=u_shifts, blocks=tuple(blocks),
         inv_blocks=1.0 / len(blocks), wave=wave,
-        precision=None if precision is None else jax.lax.Precision(precision),
+        precision=resolve_precision(precision),
         value_dtype=vd, quantized=quantized,
     )
     in_specs = [

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vits_tpu.ops.pallas import resolve_interpret
+from vits_tpu.ops.pallas import resolve_interpret, resolve_precision
 
 from vits_tpu.ops.conv import conv1d, leaky_relu
 from vits_tpu.ops.pallas.resblock import total_halo
@@ -146,7 +146,7 @@ def _trio_forward_with_acts(x, weights, metas, slope, tile_t, interpret,
         _trio_train_kernel,
         tile_t=tile, blocks_meta=tuple(metas), slope=slope, window=window,
         HO=HO, inv_blocks=1.0 / len(metas), T=T,
-        precision=None if precision is None else jax.lax.Precision(precision),
+        precision=resolve_precision(precision),
     )
     w_inputs = []
     for blk in weights:
