@@ -122,6 +122,12 @@ def main() -> int:
         ("pallas_highest_glue32", dict(use_pallas=True, precision="highest",
                                        weight_format="float32",
                                        xla_precision="highest")),
+        # 3-pass bf16 multiplies (Precision.HIGH): the candidate cheaper
+        # exact tier — half the multiply passes of "highest", possibly
+        # already under the 1e-3 mel-L1 target.
+        ("pallas_high_glue32", dict(use_pallas=True, precision="high",
+                                    weight_format="float32",
+                                    xla_precision="highest")),
     ):
         wave = run(**kwargs)
         rows[label] = {

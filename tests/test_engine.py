@@ -94,6 +94,9 @@ def test_fidelity_tiers(tiny_bundle):
     assert kw["pallas_precision"] == "highest"
     assert kw["matmul_precision"] == "highest"
     assert kw["pallas_value_dtype"] == "float32"
+    kw = EngineConfig.fidelity_kwargs("high")
+    assert kw["pallas_precision"] == "high"  # 3-pass bf16x3 kernel dots
+    assert kw["pallas_value_dtype"] == "float32"
     assert EngineConfig.fidelity_kwargs("fast") == {}
     assert EngineConfig.fidelity_kwargs("glue32") == {
         "matmul_precision": "highest"}
@@ -102,13 +105,14 @@ def test_fidelity_tiers(tiny_bundle):
     config, params = tiny_bundle
     tok = VitsTokenizer(vocab=dict(VOCAB), pad_token="k", unk_token="z")
     waves = {}
-    for tier in ("fast", "exact"):
+    for tier in ("fast", "high", "exact"):
         model = Synthesizer(
             config, tok, params,
             EngineConfig(token_buckets=(32,), frames_per_token=4.0,
                          **EngineConfig.fidelity_kwargs(tier)))
         waves[tier] = model.synthesize("hello sad dame", seed=5)
     np.testing.assert_array_equal(waves["fast"], waves["exact"])
+    np.testing.assert_array_equal(waves["fast"], waves["high"])
 
 
 def test_warmup_overflow_ladder_precompiles_redispatch(tiny_bundle):

@@ -227,6 +227,28 @@ def test_fused_stage_bf16_values_close():
     np.testing.assert_allclose(got / scale, expected / scale, atol=0.03)
 
 
+def test_fused_stage_bf16x3_precision():
+    """precision="high" (3-pass bf16x3 kernel dots — Mosaic has no
+    Precision.HIGH lowering, so ops/pallas/kernel_dot emulates it with hi/lo
+    bf16 splits) lands between single-pass bf16 (~3e-2) and fp32-exact:
+    the dropped lo*lo term is O(2^-16) relative, so the stage stays within
+    ~1e-4 of the fp32 XLA reference."""
+    rng = np.random.default_rng(11)
+    C_in, C_out, stride, k_up = 64, 32, 2, 4
+    up_w, up_b, resblocks = _make_stage(rng, C_in, C_out, k_up, (3, 7, 11))
+    x = rng.standard_normal((2, 96, C_in)).astype(np.float32)
+    pad = (k_up - stride) // 2
+
+    expected = xla_stage(x, up_w, up_b, resblocks, stride, pad)
+    got = np.asarray(fused_stage(
+        jnp.asarray(x), jnp.asarray(up_w), jnp.asarray(up_b),
+        stride=stride, up_padding=pad, resblocks=resblocks, slope=SLOPE,
+        tile_t=64, interpret=True, precision="high",
+    ))
+    scale = max(1.0, float(np.abs(expected).max()))
+    np.testing.assert_allclose(got / scale, expected / scale, atol=1e-4)
+
+
 def _chan_dequant(w, axes):
     """Symmetric per-out-channel int8 round-trip (io/quantize.py scheme)."""
     absmax = np.max(np.abs(w), axis=axes, keepdims=True)

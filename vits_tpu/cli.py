@@ -34,12 +34,15 @@ def main(argv=None) -> int:
     parser.add_argument("--speaking-rate", type=float, default=None,
                         help=">1 = faster speech, <1 = slower")
     parser.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
-    parser.add_argument("--fidelity", choices=["fast", "glue32", "exact"],
+    parser.add_argument("--fidelity",
+                        choices=["fast", "glue32", "high", "exact"],
                         default="fast",
                         help="precision tier (EngineConfig.fidelity_kwargs): "
                              "fast = bf16 multiplies/values (default); "
                              "glue32 = fp32-exact encoder/duration/flow "
                              "(pins frame alignment to fp32 semantics); "
+                             "high = 3-pass bf16x3 vocoder multiplies "
+                             "(<1e-3 mel-L1 at ~half the exact cost); "
                              "exact = fp32-exact end-to-end (mel-L1 1.4e-5 "
                              "vs the fp32 oracle on trained weights)")
     parser.add_argument("--bench", type=int, default=0, metavar="N",

@@ -298,6 +298,10 @@ class EngineConfig:
         tiers = {
             "fast": {},
             "glue32": {"matmul_precision": "highest"},
+            "high": {"matmul_precision": "highest",
+                     "pallas_precision": "high",
+                     "pallas_value_dtype": "float32",
+                     "pallas_weight_format": "float32"},
             "exact": {"matmul_precision": "highest",
                       "pallas_precision": "highest",
                       "pallas_value_dtype": "float32",

@@ -554,11 +554,13 @@ def main(argv=None) -> int:
     ap.add_argument("--aot-bundle", default=None, metavar="DIR",
                     help="AOT program bundle (scripts/export_aot.py): serve "
                          "pre-exported programs without tracing the model")
-    ap.add_argument("--fidelity", choices=["fast", "glue32", "exact"],
+    ap.add_argument("--fidelity", choices=["fast", "glue32", "high", "exact"],
                     default="fast",
                     help="precision tier (EngineConfig.fidelity_kwargs): "
                          "fast = bf16 multiplies/values; glue32 = fp32-exact "
-                         "glue modules; exact = fp32-exact end-to-end")
+                         "glue modules; high = 3-pass bf16x3 vocoder "
+                         "multiplies (<1e-3 mel-L1); exact = fp32-exact "
+                         "end-to-end")
     args = ap.parse_args(argv)
 
     import vits_tpu

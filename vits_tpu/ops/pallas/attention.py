@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vits_tpu.ops.pallas import resolve_interpret, resolve_precision
+from vits_tpu.ops.pallas import (kernel_dot_general, resolve_interpret,
+                                 resolve_precision)
 
 
 def _attn_kernel(len_ref, q_ref, k_ref, v_ref, rk_ref, rv_ref, out_ref,
@@ -42,9 +43,7 @@ def _attn_kernel(len_ref, q_ref, k_ref, v_ref, rk_ref, rv_ref, out_ref,
 
     def dot(a, bm, transpose_b=False):
         dn = (((1,), (1,)), ((), ())) if transpose_b else (((1,), (0,)), ((), ()))
-        return jax.lax.dot_general(a, bm, dimension_numbers=dn,
-                                   preferred_element_type=jnp.float32,
-                                   precision=precision)
+        return kernel_dot_general(a, bm, dn, precision)
 
     q = q_ref[0, 0].astype(jnp.float32)  # (TQ, d)
     rk = rk_ref[:].astype(jnp.float32)   # (2w+1, d)

@@ -42,7 +42,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vits_tpu.ops.pallas import resolve_interpret, resolve_precision
+from vits_tpu.ops.pallas import (kernel_dot_general, resolve_interpret,
+                                 resolve_precision)
 
 from vits_tpu.ops.attention import (
     absolute_position_to_relative_position,
@@ -94,9 +95,7 @@ def _attn_bwd_kernel(len_ref, q_ref, k_ref, v_ref, rk_ref, rv_ref,
     def dot(a, bm, transpose_a=False, transpose_b=False):
         ca = ((0,) if transpose_a else (1,),)
         cb = ((1,) if transpose_b else (0,),)
-        return jax.lax.dot_general(a, bm, dimension_numbers=((ca[0], cb[0]), ((), ())),
-                                   preferred_element_type=jnp.float32,
-                                   precision=precision)
+        return kernel_dot_general(a, bm, ((ca[0], cb[0]), ((), ())), precision)
 
     @pl.when(qt == 0)
     def _init():

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vits_tpu.ops.pallas import resolve_interpret, resolve_precision
+from vits_tpu.ops.pallas import kernel_dot, resolve_interpret, resolve_precision
 
 from vits_tpu.config import VitsConfig
 from vits_tpu.io.params import ParamView
@@ -180,8 +180,7 @@ def _flow_kernel(
     rmask = row < valid
 
     def dot(x, w):
-        return jnp.dot(x, w, preferred_element_type=jnp.float32,
-                       precision=precision)
+        return kernel_dot(x, w, precision)
 
     def coupling(read_ref, upd_ref):
         # conv_pre (1x1) + mask

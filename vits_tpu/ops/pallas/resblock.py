@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vits_tpu.ops.pallas import resolve_interpret, resolve_precision
+from vits_tpu.ops.pallas import kernel_dot, resolve_interpret, resolve_precision
 
 from vits_tpu.ops.conv import conv1d, leaky_relu
 
@@ -91,8 +91,7 @@ def _kernel(x_hbm, len_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, xwin, sem,
         acc1 = None
         for tap in range(k):
             piece = jax.lax.slice_in_dim(h, tap * dilation, tap * dilation + mid_len, axis=0)
-            term = jnp.dot(piece, w1_ref[pair, tap],
-                           preferred_element_type=jnp.float32, precision=precision)
+            term = kernel_dot(piece, w1_ref[pair, tap], precision)
             acc1 = term if acc1 is None else acc1 + term
         y1 = acc1 + b1_ref[pair][None, :].astype(jnp.float32)
 
@@ -110,8 +109,7 @@ def _kernel(x_hbm, len_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, xwin, sem,
         acc2 = None
         for tap in range(k):
             piece = jax.lax.slice_in_dim(h2v, tap, tap + out_len, axis=0)
-            term = jnp.dot(piece, w2_ref[pair, tap],
-                           preferred_element_type=jnp.float32, precision=precision)
+            term = kernel_dot(piece, w2_ref[pair, tap], precision)
             acc2 = term if acc2 is None else acc2 + term
         y2 = acc2 + b2_ref[pair][None, :]
 
@@ -188,9 +186,8 @@ def _trio_kernel(x_hbm, len_ref, *rest, tile_t, blocks_meta, slope, window,
             for tap in range(k):
                 piece = jax.lax.slice_in_dim(
                     h, tap * dilation, tap * dilation + mid_len, axis=0)
-                term = jnp.dot(piece, w1_ref[pair, tap].astype(value_dtype),
-                               preferred_element_type=jnp.float32,
-                               precision=precision)
+                term = kernel_dot(piece, w1_ref[pair, tap].astype(value_dtype),
+                                  precision)
                 acc1 = term if acc1 is None else acc1 + term
             if s1_ref is not None:
                 # int8 weights: every tap of a pair shares the per-OUT-channel
@@ -209,9 +206,8 @@ def _trio_kernel(x_hbm, len_ref, *rest, tile_t, blocks_meta, slope, window,
             acc2 = None
             for tap in range(k):
                 piece = jax.lax.slice_in_dim(h2v, tap, tap + out_len, axis=0)
-                term = jnp.dot(piece, w2_ref[pair, tap].astype(value_dtype),
-                               preferred_element_type=jnp.float32,
-                               precision=precision)
+                term = kernel_dot(piece, w2_ref[pair, tap].astype(value_dtype),
+                                  precision)
                 acc2 = term if acc2 is None else acc2 + term
             if s2_ref is not None:
                 acc2 = acc2 * s2_ref[pair][None, :]
@@ -399,8 +395,7 @@ def _shift_matmul(src, shifts, w_ref, w_start, rows, precision=None):
             # int8 packed weights (cast is exact: |q| <= 127 in bf16) or
             # fp32 side arrays meeting a bf16 value buffer
             w = w.astype(src.dtype)
-        term = jnp.dot(piece, w,
-                       preferred_element_type=jnp.float32, precision=precision)
+        term = kernel_dot(piece, w, precision)
         acc = term if acc is None else acc + term
     return acc
 

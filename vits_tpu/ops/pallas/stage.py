@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vits_tpu.ops.pallas import resolve_interpret, resolve_precision
+from vits_tpu.ops.pallas import kernel_dot, resolve_interpret, resolve_precision
 
 from vits_tpu.ops.pallas.resblock import (
     _leaky,
@@ -182,8 +182,7 @@ def _stage_kernel(x_hbm, len_ref, wu_ref, bu_ref, w1_ref, b1_ref, w2_ref, b2_ref
         w = wq_ref[qi]
         if w.dtype != piece.dtype:
             w = w.astype(piece.dtype)
-        term = jnp.dot(piece, w, preferred_element_type=jnp.float32,
-                       precision=precision)
+        term = kernel_dot(piece, w, precision)
         yw = term if yw is None else yw + term
     if sq_ref is not None:
         yw = yw * sq_ref[0][None, :]

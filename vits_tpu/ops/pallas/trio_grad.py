@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vits_tpu.ops.pallas import resolve_interpret, resolve_precision
+from vits_tpu.ops.pallas import kernel_dot, resolve_interpret, resolve_precision
 
 from vits_tpu.ops.conv import conv1d, leaky_relu
 from vits_tpu.ops.pallas.resblock import total_halo
@@ -94,9 +94,7 @@ def _trio_train_kernel(x_hbm, *rest, tile_t, blocks_meta, slope, window,
             for tap in range(k):
                 piece = jax.lax.slice_in_dim(
                     h, tap * dilation, tap * dilation + mid_len, axis=0)
-                term = jnp.dot(piece, w1_ref[pair, tap],
-                               preferred_element_type=jnp.float32,
-                               precision=precision)
+                term = kernel_dot(piece, w1_ref[pair, tap], precision)
                 acc1 = term if acc1 is None else acc1 + term
             y1 = acc1 + b1_ref[pair][None, :].astype(jnp.float32)
             y1 = jnp.where(in_seq(mid_len, offset + h1), y1, 0.0)
@@ -108,9 +106,7 @@ def _trio_train_kernel(x_hbm, *rest, tile_t, blocks_meta, slope, window,
             acc2 = None
             for tap in range(k):
                 piece = jax.lax.slice_in_dim(h2v, tap, tap + out_len, axis=0)
-                term = jnp.dot(piece, w2_ref[pair, tap],
-                               preferred_element_type=jnp.float32,
-                               precision=precision)
+                term = kernel_dot(piece, w2_ref[pair, tap], precision)
                 acc2 = term if acc2 is None else acc2 + term
             y2 = acc2 + b2_ref[pair][None, :]
 
