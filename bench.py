@@ -230,7 +230,53 @@ def main() -> int:
         "depth": best_depth,
         "xrt_pipelined": round(xrt_pipe, 2),
         "xrt_depth1": round(xrt_seq, 2),
+        "depth1_wall_ms": round(wall_ms_seq, 2),
     }
+
+    # Measured network RTT (round-4 verdict item 3): the smallest possible
+    # device round-trip — dispatch a scalar add, block on its readback — so
+    # xrt_depth1 decomposes into engine vs network on ANY tunnel-weather day:
+    # depth1_wall_ms ≈ rtt_ms + device_ms_per_dispatch when the engine adds
+    # nothing; the residual is host/dispatch overhead.  Best of 10 (same
+    # stall-dodging rationale as the loops above).
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda x: x + 1.0)
+    np.asarray(tiny(jnp.zeros((), jnp.float32)))  # compile + quiesce
+    rtt_ms = float("inf")
+    for _ in range(10):
+        t0 = time.perf_counter()
+        np.asarray(tiny(jnp.zeros((), jnp.float32)))
+        rtt_ms = min(rtt_ms, (time.perf_counter() - t0) * 1e3)
+    result["rtt_ms"] = round(rtt_ms, 2)
+
+    # Batched operating point (round-4 verdict item 6): aggregate xRT per
+    # chip at a serving batch shape — N utterances per dispatch, pipelined.
+    # The reference's bench loop is strictly one-at-a-time
+    # (/root/reference/test/bench_e2e.cpp:79-89); batching is this
+    # framework's structural throughput win and belongs in the same record.
+    # VITS_BENCH_BATCH=0 disables; default 8.
+    batch_n = int(os.environ.get("VITS_BENCH_BATCH", "8"))
+    if batch_n > 1 and dp <= 1:
+        model.warmup(batch_sizes=(batch_n,))
+        best_xrt_b = 0.0
+        for _ in range(reps):
+            inflight = deque()
+            audio0 = model.stats["audio_seconds"]
+            t0 = time.perf_counter()
+            for i in range(n_iters):
+                texts = [SENTENCES[(i * batch_n + j) % len(SENTENCES)]
+                         for j in range(batch_n)]
+                inflight.append(model.submit(texts, seed=i))
+                if len(inflight) >= depth:
+                    model.collect(inflight.popleft(), max_redispatch=0)
+            while inflight:
+                model.collect(inflight.popleft(), max_redispatch=0)
+            wall = time.perf_counter() - t0
+            best_xrt_b = max(
+                best_xrt_b, (model.stats["audio_seconds"] - audio0) / wall)
+        result["xrt_batched"] = round(best_xrt_b, 1)
+        result["batch"] = batch_n
     if dp > 1:
         result["metric"] = "xRT_aggregate"
         result["dp"] = dp

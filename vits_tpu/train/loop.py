@@ -156,7 +156,8 @@ def train(
                     ema_params = {k: jnp.asarray(data[k]) for k in data.files}
                 log("restored EMA weights")
         # jitted + donated: the eager tree_map dispatches hundreds of tiny
-        # host-side ops per step otherwise
+        # host-side ops per step otherwise.  The step index rides in as a
+        # device scalar so the decay warmup doesn't retrace per step.
         ema_update = jax.jit(ema.update, donate_argnums=(0,))
         ds = data_sharding(mesh)
         dp = mesh.devices.shape[0]
@@ -218,7 +219,9 @@ def train(
                     gen_params, gen_opt_state, batch, sub
                 )
 
-            ema_params = ema_update(ema_params, gen_params)
+            ema_params = ema_update(
+                ema_params, gen_params, jnp.asarray(step_idx - 1, jnp.int32)
+            )
 
             if step_idx % log_every == 0 and is_primary():
                 metrics = jax.device_get(metrics)

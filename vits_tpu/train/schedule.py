@@ -41,18 +41,39 @@ def vits_optimizer(
 
 
 class ParamEMA:
-    """Exponential moving average over a params pytree (for serving weights)."""
+    """Exponential moving average over a params pytree (for serving weights).
 
-    def __init__(self, decay: float = 0.9999):
+    The decay is warmed up as ``min(decay, (1 + t) / (10 + t))`` (the
+    standard TF/ObjectDetection ramp).  Without it a fixed 0.9999 decay with
+    the EMA initialized at the random init keeps ``0.9999^t`` weight on that
+    init — at 2,000 steps the "average" is still 82% initialization noise,
+    which is exactly the EMA-worse-than-raw inversion the round-4 convergence
+    eval recorded (docs/convergence/eval.json, VERDICT round-4 weak #5).
+    With the ramp the early EMA tracks the raw weights closely (horizon ~t/10)
+    and only approaches the long 0.9999 horizon once training is long enough
+    to fill it.
+    """
+
+    def __init__(self, decay: float = 0.9999, warmup: bool = True):
         self.decay = decay
+        self.warmup = warmup
 
     def init(self, params: Any) -> Any:
         # Deep-copy: training steps donate their param buffers, and an EMA
         # aliasing them would read deleted arrays after the first step.
         return jax.tree_util.tree_map(lambda x: jnp.asarray(x).copy(), params)
 
-    def update(self, ema_params: Any, new_params: Any) -> Any:
-        d = self.decay
+    def decay_at(self, step) -> jnp.ndarray:
+        """Effective decay after ``step`` completed updates (0-based)."""
+        d = jnp.asarray(self.decay, jnp.float32)
+        if not self.warmup:
+            return d
+        t = jnp.asarray(step, jnp.float32)
+        return jnp.minimum(d, (1.0 + t) / (10.0 + t))
+
+    def update(self, ema_params: Any, new_params: Any, step=None) -> Any:
+        """One EMA step; ``step`` is the 0-based update count (traced OK)."""
+        d = self.decay if step is None else self.decay_at(step)
         return jax.tree_util.tree_map(
             lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d), ema_params, new_params
         )
