@@ -208,6 +208,17 @@ class EngineConfig:
     # a permanent FLOP/transfer tax on a long-lived serving process.
     adaptive_capacity_decay: bool = True
     adaptive_capacity_window: int = 32
+    # Snap adaptive raises/decays to the overflow-ladder geometry: the
+    # working capacity only ever takes values base_capacity * 2^k — exactly
+    # the shapes ``warmup(overflow_ladder=N)`` pre-compiles.  With this set
+    # (and the ladder warmed) NO adaptive event can trigger an XLA compile
+    # mid-request; without it, step/request_max interplay can land a raise on
+    # a never-warmed intermediate capacity (the 11 s serving p95 of
+    # BENCH_DETAIL serving_load_r4).  The trade: capacity quantizes coarser
+    # (up to 2x the observed need), costing padding FLOPs on traffic that
+    # sits between rungs.  adaptive_capacity_step/request_max are ignored in
+    # this mode; the 2x-per-overflow and adaptive_capacity_max clamps hold.
+    adaptive_capacity_align: bool = False
     # Computation dtype for the heavy conv stacks ("float32" or "bfloat16").
     compute_dtype: str = "float32"
     # Max batch size compiled into the batched path.

@@ -201,11 +201,13 @@ class MultiplexedStreamingDecoder(StreamingDecoder):
             self.stats["max_rows"] = max(self.stats["max_rows"], len(reqs))
 
     # --- warmup ------------------------------------------------------------ #
-    def warmup(self, token_buckets=None) -> None:
-        """Compile prior programs (via the base warmup) plus the batched
-        window decode at every batch bucket — first clients must not pay
-        20-40 s compiles while holding stream slots."""
-        super().warmup(token_buckets=token_buckets)
+    def warmup(self, token_buckets=None, overflow_ladder: int = 0) -> None:
+        """Compile prior programs (via the base warmup, including its
+        capacity-overflow ladder rungs) plus the batched window decode at
+        every batch bucket — first clients must not pay 20-40 s compiles
+        while holding stream slots."""
+        super().warmup(token_buckets=token_buckets,
+                       overflow_ladder=overflow_ladder)
         synth = self.synth
         window = self._window
         config = synth.config

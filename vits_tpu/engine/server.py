@@ -550,7 +550,14 @@ def main(argv=None) -> int:
     ap.add_argument("--warm-overflow", type=int, default=0, metavar="N",
                     help="pre-compile N rungs of the overflow-redispatch "
                          "ladder at startup so no request ever pays an XLA "
-                         "compile (each rung doubles frame capacity)")
+                         "compile (each rung doubles frame capacity); also "
+                         "snaps adaptive-capacity raises to those rungs "
+                         "(EngineConfig.adaptive_capacity_align) unless "
+                         "--no-capacity-align")
+    ap.add_argument("--no-capacity-align", action="store_true",
+                    help="with --warm-overflow: let adaptive capacity use "
+                         "fine-grained steps (off the warmed rungs; adaptive "
+                         "raises may then compile mid-request)")
     ap.add_argument("--aot-bundle", default=None, metavar="DIR",
                     help="AOT program bundle (scripts/export_aot.py): serve "
                          "pre-exported programs without tracing the model")
@@ -586,6 +593,8 @@ def main(argv=None) -> int:
     eng = EngineConfig(compilation_cache_dir=args.compilation_cache,
                        aot_bundle_dir=args.aot_bundle,
                        batch_buckets=tuple(dict.fromkeys(buckets)),
+                       adaptive_capacity_align=(
+                           args.warm_overflow > 0 and not args.no_capacity_align),
                        **EngineConfig.fidelity_kwargs(args.fidelity))
     model = vits_tpu.load_model(args.model, eng, mesh=mesh)
     # per_row_seeds: the worker always passes seed LISTS, whose (B, 2) key
@@ -604,7 +613,8 @@ def main(argv=None) -> int:
         from vits_tpu.engine.streaming import StreamingDecoder
 
         streamer = StreamingDecoder(model)
-    streamer.warmup(token_buckets=model.engine.token_buckets[:2])
+    streamer.warmup(token_buckets=model.engine.token_buckets[:2],
+                    overflow_ladder=args.warm_overflow)
     server, worker = serve(
         model, args.port, args.host, args.batch_window_ms, args.max_batch,
         args.max_queue, args.request_timeout_s, max_streams=args.max_streams,

@@ -143,12 +143,18 @@ class StreamingDecoder:
             self._decode_fn_cache[window] = run
         return self._decode_fn_cache[window]
 
-    def warmup(self, token_buckets=None) -> None:
+    def warmup(self, token_buckets=None, overflow_ladder: int = 0) -> None:
         """Compile the streaming programs ahead of traffic.
 
         One prior program per token bucket plus the shared window decode —
         without this the first /stream client pays every cold compile
         (20-40 s each on TPU) while occupying a serving stream slot.
+
+        ``overflow_ladder=N`` additionally compiles the first N rungs of the
+        prior's own capacity-doubling ladder (``synthesize``'s escalation on
+        a predicted length past the bucket capacity) — without it the FIRST
+        overflowing stream pays a synchronous prior compile mid-request
+        (observed as a multi-second p99 in the round-5 serving measurement).
         """
         synth = self.synth
         buckets = tuple(token_buckets or synth.engine.token_buckets)
@@ -162,18 +168,20 @@ class StreamingDecoder:
         for tb in buckets:
             ids = np.zeros((1, tb), np.int32)
             mask = np.ones((1, tb), np.float32)
-            num_frames = synth.engine.frame_bucket(tb)
+            base_frames = synth.engine.frame_bucket(tb)
             for spk in speakers:
-                prior = self._prior_fn(num_frames)(
-                    self._params, jnp.asarray(ids), jnp.asarray(mask), rng,
-                    spk, controls,
-                )
-                w = min(window, num_frames)
-                wave = self._decode_fn(w)(
-                    self._params, prior.prior_latents[:, :w],
-                    prior.frame_mask[..., None][:, :w],
-                    prior.speaker_embeddings,
-                )
+                for rung in range(overflow_ladder + 1):
+                    num_frames = base_frames * (2 ** rung)
+                    prior = self._prior_fn(num_frames)(
+                        self._params, jnp.asarray(ids), jnp.asarray(mask), rng,
+                        spk, controls,
+                    )
+                    w = min(window, num_frames)
+                    wave = self._decode_fn(w)(
+                        self._params, prior.prior_latents[:, :w],
+                        prior.frame_mask[..., None][:, :w],
+                        prior.speaker_embeddings,
+                    )
         if wave is not None:
             np.asarray(wave)  # block until the last compile lands
 

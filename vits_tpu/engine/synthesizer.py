@@ -511,8 +511,23 @@ class Synthesizer:
         return EngineOutput(wave, *host[1:])
 
     def _frame_capacity(self, token_bucket: int) -> int:
-        """Frame capacity for a token bucket at the adaptively-raised ratio."""
-        return self.engine.frame_bucket(token_bucket, ratio=self._frames_per_token)
+        """Frame capacity for a token bucket at the adaptively-raised ratio.
+
+        In ``adaptive_capacity_align`` mode the raised ratio is base * 2^k by
+        construction, and the capacity is computed as the BASE bucket
+        capacity doubled k times — bit-identical to the ladder rungs
+        ``warmup(overflow_ladder=N)`` compiled (rounding-to-8 does not
+        commute with the doubling for every base ratio).
+        """
+        eng = self.engine
+        if eng.adaptive_capacity_align and self._frames_per_token > eng.frames_per_token:
+            scale = self._frames_per_token / eng.frames_per_token
+            k = float(np.log2(scale))
+            if abs(k - round(k)) < 1e-6:  # on-ladder ratio (base * 2^k)
+                return eng.frame_bucket(token_bucket) * (2 ** max(0, int(round(k))))
+            # off-ladder ratio (e.g. an AOT bundle floor): fall through to the
+            # exact computation — the bundle shipped programs for that shape.
+        return eng.frame_bucket(token_bucket, ratio=self._frames_per_token)
 
     def _observed_rate(self, pending: PendingSynthesis, frame_lengths):
         """Per-dispatch frames/token rate, or None for non-default controls.
@@ -538,6 +553,15 @@ class Synthesizer:
         self._rate_window.append(rate)
         return rate
 
+    def _aligned_ratio(self, rate: float, round_up: bool = True) -> float:
+        """Smallest (largest, if ``round_up=False``) base * 2^k covering ``rate``."""
+        base = float(self.engine.frames_per_token)
+        if rate <= base:
+            return base
+        k = float(np.log2(rate / base))
+        k = int(np.ceil(k - 1e-9)) if round_up else int(np.floor(k + 1e-9))
+        return base * (2 ** max(0, k))
+
     def _observe_overflow(self, rate: float) -> None:
         """Raise the working frames/token ratio to cover an observed overflow.
 
@@ -552,14 +576,28 @@ class Synthesizer:
         """
         if not self.engine.adaptive_capacity or rate is None:
             return
-        step = max(self.engine.adaptive_capacity_step, 1e-3)
-        bumped = float(np.ceil(rate / step) * step)
-        bumped = min(
-            bumped,
-            self._frames_per_token * 2.0,
-            self._frames_per_token + float(self.engine.adaptive_capacity_request_max),
-            float(self.engine.adaptive_capacity_max),
-        )
+        if self.engine.adaptive_capacity_align:
+            # Ladder-aligned raises: the working ratio only takes values
+            # base * 2^k, so (with the ladder warmed) every post-raise
+            # dispatch shape is already compiled.  The 2x-per-overflow clamp
+            # IS the per-request poisoning bound in this mode; the
+            # adaptive_capacity_max ceiling applies as the largest rung that
+            # does not exceed it (a raw min() would land off-ladder).
+            bumped = min(self._aligned_ratio(rate),
+                         self._frames_per_token * 2.0,
+                         self._aligned_ratio(
+                             float(self.engine.adaptive_capacity_max),
+                             round_up=False))
+        else:
+            step = max(self.engine.adaptive_capacity_step, 1e-3)
+            bumped = float(np.ceil(rate / step) * step)
+            bumped = min(
+                bumped,
+                self._frames_per_token * 2.0,
+                self._frames_per_token + float(
+                    self.engine.adaptive_capacity_request_max),
+                float(self.engine.adaptive_capacity_max),
+            )
         if bumped > self._frames_per_token:
             self._frames_per_token = bumped
             # Decay needs a FULL window of post-raise evidence before it may
@@ -585,8 +623,13 @@ class Synthesizer:
             return
         if len(self._rate_window) < self._rate_window.maxlen:
             return
-        step = max(eng.adaptive_capacity_step, 1e-3)
-        target = max(floor, float(np.ceil(max(self._rate_window) / step) * step))
+        if eng.adaptive_capacity_align:
+            # Decay along the same ladder rungs raises use — never to an
+            # unwarmed intermediate capacity.
+            target = max(floor, self._aligned_ratio(max(self._rate_window)))
+        else:
+            step = max(eng.adaptive_capacity_step, 1e-3)
+            target = max(floor, float(np.ceil(max(self._rate_window) / step) * step))
         if target < self._frames_per_token:
             self._frames_per_token = target
             self._rate_window.clear()  # fresh evidence before the next move
