@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from vits_tpu.config import VitsConfig
 from vits_tpu.io.params import ParamView
 from vits_tpu.ops.conv import conv1d, conv_transpose1d, leaky_relu
+from vits_tpu.ops.precision import stage_precision
 
 
 def _resblock(
@@ -196,7 +197,9 @@ def hifigan(
     frame_mask: jax.Array | None = None,  # (B, T, 1)
     global_conditioning: jax.Array | None = None,  # (B, 1, speaker_emb)
     use_pallas: bool = False,
-    pallas_precision: str | None = None,  # None = fast bf16 multiplies
+    pallas_precision: str | None = None,  # None = fast bf16 multiplies;
+    #   "high"/"highest" = 3/6-pass; or a comma-joined PER-STAGE spec
+    #   ("high,high,highest,highest") — see ops/precision.py
     pallas_value_dtype: str | None = None,  # kernel VMEM value dtype; None=fp32
     trainable: bool = False,  # gradient-capable kernels only: wide stages run
     #   the custom-VJP fused trio (ops/pallas/trio_grad.py), everything else
@@ -240,6 +243,7 @@ def hifigan(
     n_stages = len(config.upsample_rates)
     packed_T = None  # logical (B, T, C) time length while h is packed (B,R,128)
     for i, rate in enumerate(config.upsample_rates):
+        prec_i = stage_precision(pallas_precision, i)
         kernel_size = config.upsample_kernel_sizes[i]
         up_w = p[f"upsampler.{i}.weight"]
         c_in, c_out = up_w.shape[1], up_w.shape[2]
@@ -288,8 +292,8 @@ def hifigan(
                 stride=rate, up_padding=(kernel_size - rate) // 2,
                 resblocks=_stage_resblock_dicts(p, config, i),
                 slope=slope, lengths=lengths,
-                precision=pallas_precision,
-                tile_t=(2048 if pallas_precision not in ("high", "highest")
+                precision=prec_i,
+                tile_t=(2048 if prec_i not in ("high", "highest")
                         else 1024),  # multi-pass tiers: 2x VMEM scratch/tile
                 packed_in=packed_T, packed_out=chain_next,
                 arrays=arrays, final_conv=final_conv,
@@ -357,7 +361,7 @@ def hifigan(
             f = make_trainable_trio(
                 [{"kernel_size": b["kernel_size"], "dilations": b["dilations"]}
                  for b in blocks],
-                slope=slope, tile_t=2048, precision=pallas_precision,
+                slope=slope, tile_t=2048, precision=prec_i,
             )
             h = f(h, tuple((b["w1"], b["b1"], b["w2"], b["b2"]) for b in blocks))
             continue
@@ -391,7 +395,7 @@ def hifigan(
             # scoped-VMEM scratch per tile — tile 2048 at fp32 6-pass busted
             # the 100 MB stack limit by 5% (round 4) — so they run at half
             # tile (exact parity is a fidelity mode, not the fast path).
-            big_tile = pallas_precision not in ("high", "highest")
+            big_tile = prec_i not in ("high", "highest")
             h = fused_resblock_trio(
                 h, blocks if blocks is not None
                 else _stage_resblock_dicts(p, config, i),
@@ -400,7 +404,7 @@ def hifigan(
                         if h.shape[1] >= 32768
                         else (2048 if big_tile else 1024)),
                 lengths=lengths,
-                precision=pallas_precision, value_dtype=vd,
+                precision=prec_i, value_dtype=vd,
             )
             continue
 
@@ -413,7 +417,7 @@ def hifigan(
                     config.resblock_kernel_sizes[j],
                     config.resblock_dilation_sizes[j],
                     slope,
-                    precision=pallas_precision,
+                    precision=prec_i,
                     value_dtype=vd,
                 )
             else:

@@ -164,9 +164,13 @@ def text_to_prior(
         speaker_embeddings = emb[:, None, :]  # (B, 1, emb)
 
     # ---- Text encoder -> prior stats -------------------------------------- #
+    # attention has no vocoder-stage axis: a per-stage spec collapses to
+    # its strongest tier (ops/precision.py)
+    from vits_tpu.ops.precision import reduce_precision
+
     enc = text_encoder(p, config, input_ids, padding_mask, input_mask,
                        use_pallas=use_pallas_attention,
-                       pallas_precision=pallas_precision)
+                       pallas_precision=reduce_precision(pallas_precision))
 
     # ---- Durations -------------------------------------------------------- #
     hidden = jax.lax.stop_gradient(enc.last_hidden_state)
@@ -246,10 +250,13 @@ def latents_from_prior(
             if speaker_embeddings is not None
             else None
         )
+        from vits_tpu.ops.precision import reduce_precision
+
         lengths = jnp.sum(frame_mask3[..., 0], axis=1).astype(jnp.int32)
         latents = fused_flow(
             prior_latents, packed, type_a, config,
-            lengths=lengths, cond=cond, precision=pallas_precision,
+            lengths=lengths, cond=cond,
+            precision=reduce_precision(pallas_precision),
         )
         return latents * frame_mask3
     latents, _ = residual_coupling_block(
