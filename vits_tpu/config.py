@@ -289,22 +289,30 @@ class EngineConfig:
     def fidelity_kwargs(tier: str) -> dict:
         """EngineConfig kwargs for a user-level fidelity tier.
 
-        Measured on 2000-step trained weights (BENCH_DETAIL.json
-        ``value_dtype_fidelity_trained``; mel-L1 vs the fp32-multiply XLA
-        oracle at the bench shape):
+        Measured on 16,000-step trained weights (BENCH_DETAIL.json
+        ``value_dtype_fidelity_trained`` + ``fidelity_tiers_r4``; mel-L1
+        alignment-pinned vs the fp32-multiply XLA oracle at the bench shape):
 
         * ``"fast"`` — the defaults: single-pass bf16 multiplies with fp32
           accumulation everywhere (the same multiply class as XLA's own TPU
-          default), bf16 kernel values.  mel-L1 0.038 alignment-pinned
-          (~0.33 dB mean log-mel deviation).
+          default), bf16 kernel values.  mel-L1 0.064 alignment-pinned;
+          6.2 ms/dispatch.
         * ``"glue32"`` — encoder/duration/flow matmuls fp32-exact, vocoder
           kernels stay on the fast path.  Pins duration rounding (and hence
           frame alignment) to fp32 semantics: use when outputs must line up
-          frame-for-frame with a CPU/fp32 deployment.  Same 0.038 vocoder
-          error; device lane 6.2 -> 7.2 ms/dispatch (+15%).
-        * ``"exact"`` — glue32 plus 6-pass fp32-exact vocoder kernels and
-          fp32 values/weights: mel-L1 1.4e-5 (< the 1e-3 BASELINE target) at
-          32.1 ms/dispatch — 5.2x the fast path, still ~510x on-chip xRT.
+          frame-for-frame with a CPU/fp32 deployment.  Same 0.064 vocoder
+          error; 7.2 ms/dispatch (+15%).
+        * ``"high"`` — glue32 plus 3-pass bf16x3 vocoder multiplies with
+          fp32 values/weights: mel-L1 **2.9e-4 — under the 1e-3 BASELINE
+          target** at 18.5 ms/dispatch, the recommended verification tier
+          (42% cheaper than exact).
+        * ``"exact"`` — glue32 plus 6-pass fp32-exact vocoder kernels:
+          mel-L1 3.6e-5 at 32.1 ms/dispatch — for bit-level debugging
+          against fp32 deployments; ``high`` already meets the target.
+
+        ``pallas_precision`` also accepts per-vocoder-stage comma specs
+        ("high,high,highest,highest", ops/precision.py) — the measured
+        per-stage frontier is BENCH_DETAIL ``stage_precision_r5``.
         """
         tiers = {
             "fast": {},
