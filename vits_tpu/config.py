@@ -312,7 +312,11 @@ class EngineConfig:
 
         ``pallas_precision`` also accepts per-vocoder-stage comma specs
         ("high,high,highest,highest", ops/precision.py) — the measured
-        per-stage frontier is BENCH_DETAIL ``stage_precision_r5``.
+        per-stage frontier is BENCH_DETAIL ``stage_precision_r5``: uniform
+        ``high`` is the cheapest <1e-3 configuration (every stage at
+        single-pass costs >=1.7e-3 alone), and the one useful mixed point
+        is ``"high,high,highest,highest"`` (8.2e-5 at ~half the
+        high-to-exact cost gap).
         """
         tiers = {
             "fast": {},
