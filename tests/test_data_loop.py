@@ -75,6 +75,26 @@ def test_prefetcher_drains():
     assert items == list(range(7))
 
 
+def test_prefetcher_close_releases_thread_on_early_stop():
+    """An early-stopping consumer (the train loop takes exactly `steps`
+    batches of an infinite iterator) must not leak a producer thread blocked
+    on the full queue — close() aborts the pending put."""
+    import itertools
+
+    pf = Prefetcher(iter(itertools.count()), depth=2)
+    assert next(pf) == 0 and next(pf) == 1  # producer now blocked on put
+    pf.close()
+    assert not pf._thread.is_alive()
+    pf.close()  # idempotent
+
+
+def test_prefetcher_close_after_exhaustion():
+    pf = Prefetcher(iter(range(3)), depth=2)
+    assert list(pf) == [0, 1, 2]
+    pf.close()
+    assert not pf._thread.is_alive()
+
+
 def test_train_loop_smoke(corpus, tmp_path, tiny_hf_model, monkeypatch):
     """Two real (non-GAN) steps end-to-end through the loop driver + resume."""
     from vits_tpu.io.loader import export_to_ggml, load_hf_module

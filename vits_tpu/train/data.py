@@ -199,22 +199,61 @@ class VitsDataset:
 
 
 class Prefetcher:
-    """Background-thread batch prefetch (host prep overlaps device compute)."""
+    """Background-thread batch prefetch (host prep overlaps device compute).
+
+    ``close()`` releases the worker even when the consumer stops early — the
+    train loop takes exactly ``steps`` batches from an infinite epoch
+    iterator, so without it the producer stays blocked on the full queue
+    (holding the dataset iterator and its buffers) for the life of the
+    process, one leaked thread per ``train()`` call.
+    """
 
     def __init__(self, iterator: Iterator, depth: int = 2):
         self._queue: "queue.Queue" = queue.Queue(maxsize=depth)
         self._done = object()
+        self._stopped = threading.Event()
         self._thread = threading.Thread(
             target=self._fill, args=(iterator,), daemon=True
         )
         self._thread.start()
 
+    def _put(self, item) -> bool:
+        """Blocking put that aborts (returns False) once close() is called."""
+        while not self._stopped.is_set():
+            try:
+                self._queue.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _fill(self, iterator):
-        try:
-            for item in iterator:
-                self._queue.put(item)
-        finally:
-            self._queue.put(self._done)
+        items = iter(iterator)
+        while True:
+            try:
+                item = next(items)
+            except StopIteration:
+                self._put(self._done)
+                return
+            except BaseException:
+                # Keep the consumer from hanging on a dead producer, then
+                # re-raise so the thread's excepthook reports the real error.
+                self._put(self._done)
+                raise
+            if not self._put(item):
+                return  # closed mid-stream; consumer is gone
+
+    def close(self, timeout: float = 5.0) -> None:
+        """Stop the producer thread (idempotent; safe mid-iteration)."""
+        self._stopped.set()
+        if self._thread.is_alive():
+            self._thread.join(timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     def __iter__(self):
         return self

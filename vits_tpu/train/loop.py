@@ -203,62 +203,70 @@ def train(
             out_dir, stall_seconds=stall_seconds,
             process_index=jax.process_index(), abort=stall_abort, log=log,
         )
-        for step_idx, batch in zip(range(start_step + 1, steps + 1), batches):
-            watchdog.beat(step_idx)
-            key, sub = jax.random.split(key)
-            batch = pad_rows(batch)
-            batch = TrainBatch(*[
-                jax.device_put(x, ds) if x is not None else None for x in batch
-            ])
-            if adversarial:
-                gen_params, disc_params, gen_opt_state, disc_opt_state, metrics = step_fn(
-                    gen_params, disc_params, gen_opt_state, disc_opt_state, batch, sub
-                )
-            else:
-                gen_params, gen_opt_state, metrics = step_fn(
-                    gen_params, gen_opt_state, batch, sub
-                )
-
-            ema_params = ema_update(
-                ema_params, gen_params, jnp.asarray(step_idx - 1, jnp.int32)
-            )
-
-            if step_idx % log_every == 0 and is_primary():
-                metrics = jax.device_get(metrics)
-                rate = log_every / (time.perf_counter() - t0)
-                t0 = time.perf_counter()
-                fields = " ".join(
-                    f"{k}={float(v):.3f}" for k, v in metrics._asdict().items()
-                )
-                log(f"step {step_idx}: {fields} ({rate:.2f} it/s)")
-                if metrics_hook is not None:
-                    metrics_hook(
-                        step_idx,
-                        {k: float(v) for k, v in metrics._asdict().items()},
-                        rate,
+        try:
+            for step_idx, batch in zip(range(start_step + 1, steps + 1), batches):
+                watchdog.beat(step_idx)
+                key, sub = jax.random.split(key)
+                batch = pad_rows(batch)
+                batch = TrainBatch(*[
+                    jax.device_put(x, ds) if x is not None else None for x in batch
+                ])
+                if adversarial:
+                    gen_params, disc_params, gen_opt_state, disc_opt_state, metrics = step_fn(
+                        gen_params, disc_params, gen_opt_state, disc_opt_state, batch, sub
+                    )
+                else:
+                    gen_params, gen_opt_state, metrics = step_fn(
+                        gen_params, gen_opt_state, batch, sub
                     )
 
-            if (step_idx % checkpoint_every == 0 or step_idx == steps) and is_primary():
-                # Single-writer: only process 0 touches the checkpoint dir —
-                # concurrent writers from other hosts would corrupt it.
-                import os as _os
-
-                ckpt_dir = save_checkpoint(
-                    out_dir, step_idx,
-                    jax.device_get(gen_params),
-                    jax.device_get(gen_opt_state),
-                    jax.device_get(disc_params) if adversarial else None,
-                    jax.device_get(disc_opt_state) if adversarial else None,
-                    metadata={"batch_size": batch_size, "lr": learning_rate},
+                ema_params = ema_update(
+                    ema_params, gen_params, jnp.asarray(step_idx - 1, jnp.int32)
                 )
-                # EMA weights alongside (the preferred serving weights)
-                np.savez(
-                    _os.path.join(ckpt_dir, "gen_params_ema.npz"),
-                    **{k: np.asarray(v) for k, v in jax.device_get(ema_params).items()},
-                )
-                log(f"checkpointed step {step_idx}")
 
-        watchdog.stop()
+                if step_idx % log_every == 0 and is_primary():
+                    metrics = jax.device_get(metrics)
+                    rate = log_every / (time.perf_counter() - t0)
+                    t0 = time.perf_counter()
+                    fields = " ".join(
+                        f"{k}={float(v):.3f}" for k, v in metrics._asdict().items()
+                    )
+                    log(f"step {step_idx}: {fields} ({rate:.2f} it/s)")
+                    if metrics_hook is not None:
+                        metrics_hook(
+                            step_idx,
+                            {k: float(v) for k, v in metrics._asdict().items()},
+                            rate,
+                        )
+
+                if (step_idx % checkpoint_every == 0 or step_idx == steps) and is_primary():
+                    # Single-writer: only process 0 touches the checkpoint dir —
+                    # concurrent writers from other hosts would corrupt it.
+                    import os as _os
+
+                    ckpt_dir = save_checkpoint(
+                        out_dir, step_idx,
+                        jax.device_get(gen_params),
+                        jax.device_get(gen_opt_state),
+                        jax.device_get(disc_params) if adversarial else None,
+                        jax.device_get(disc_opt_state) if adversarial else None,
+                        metadata={"batch_size": batch_size, "lr": learning_rate},
+                    )
+                    # EMA weights alongside (the preferred serving weights)
+                    np.savez(
+                        _os.path.join(ckpt_dir, "gen_params_ema.npz"),
+                        **{k: np.asarray(v) for k, v in jax.device_get(ema_params).items()},
+                    )
+                    log(f"checkpointed step {step_idx}")
+
+        finally:
+            # Stop the stall watchdog BEFORE teardown (it force-exits the
+            # process on a heartbeat gap — checkpoint writes during an
+            # exception unwind must not race it) and release the prefetch
+            # thread, which otherwise stays blocked on the full queue for
+            # the life of the process (one leaked thread per train() call).
+            watchdog.stop()
+            batches.close()
 
     return gen_params
 
