@@ -27,6 +27,30 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _drop_compiled_executables_per_module():
+    """Unload XLA executables between test modules (vm.max_map_count guard).
+
+    jax caches every jitted executable for the life of the process, and each
+    LLVM-JIT'd XLA CPU executable holds several anonymous mappings (code +
+    rodata + data).  A full single-process suite run accumulates >65k maps —
+    the default ``vm.max_map_count`` — after which LLVM's next code-page
+    mmap fails mid-compile and the process SIGSEGVs (observed
+    deterministically at the first /stream compile of test_server, ~73%
+    through the suite, with ~10k executable-map triples live at 44%;
+    neither half of the suite alone reproduces it).  Clearing jax's caches
+    at module teardown unmaps dead executables; live objects (session
+    fixtures holding Synthesizers etc.) simply re-trace on next use.
+    """
+    yield
+    import gc
+
+    import jax
+
+    jax.clear_caches()
+    gc.collect()  # promptly drop executables that just lost their last ref
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
